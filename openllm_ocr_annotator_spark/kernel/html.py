@@ -1,0 +1,252 @@
+"""Stack-based HTML DOM tokenizer + boilerplate classifier.
+
+Replaces the reference's LLM call (the "extract the main content" task) with
+a deterministic kernel:
+
+1. ``tokenize_html`` — single pass, char-level state machine. Maintains an
+   open-tag stack; flushes a text block at block-level tag boundaries; tracks
+   link characters (inside ``<a>``), skips ``script/style/noscript/template``
+   subtrees entirely, and records whether a block sits under a chrome
+   ancestor (``nav/header/footer/aside``). ``<img src=...>`` flushes the
+   current block and emits a media item so in-content images keep their
+   interleaving position.
+
+2. ``classify_blocks`` — Boilerpipe/Readability-style scoring:
+   - strong content: >= STRONG_WORDS words, link_density <= MAX_LINK_DENSITY,
+     not under chrome;
+   - weak blocks (>= WEAK_WORDS words, same density/chrome constraints)
+     are promoted iff adjacent (previous or next text block) to strong
+     content — the classic "short paragraph between two long ones" rule;
+   - everything else (nav lists, footers, high link-density blocks) drops.
+   - media items survive iff the nearest surrounding text block is content.
+
+All rules are deterministic; no randomness, no wall clock.
+"""
+
+from __future__ import annotations
+
+# Tags whose open/close flushes the current text block.
+BLOCK_TAGS = frozenset(
+    """p div li h1 h2 h3 h4 h5 h6 td th tr table ul ol dl dt dd section
+    article header footer nav aside blockquote pre main figure figcaption
+    form fieldset hr br title option select textarea""".split()
+)
+# Subtrees dropped wholesale.
+SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "svg"})
+# Ancestors that mark page chrome (boilerplate context).
+CHROME_TAGS = frozenset({"nav", "header", "footer", "aside"})
+# Void elements — never pushed on the stack.
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+STRONG_WORDS = 10
+WEAK_WORDS = 3
+MAX_LINK_DENSITY = 0.33
+
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+
+
+def _decode_entities(s: str) -> str:
+    if "&" not in s:
+        return s
+    for k, v in _ENTITIES.items():
+        s = s.replace(k, v)
+    return s
+
+
+def _norm_ws(s: str) -> str:
+    return " ".join(s.split())
+
+
+class _Block:
+    __slots__ = ("chars", "link_chars", "chrome", "texts")
+
+    def __init__(self, chrome: bool) -> None:
+        self.chars = 0
+        self.link_chars = 0
+        self.chrome = chrome
+        self.texts: list[str] = []
+
+
+def tokenize_html(html: str) -> list[tuple]:
+    """Tokenize into an ordered item list.
+
+    Returns items in document order:
+      ``("text", text, link_density, chrome: bool)`` — normalized block text
+      ``("media", src)``                             — embedded image ref
+    """
+    items: list[tuple] = []
+    stack: list[str] = []
+    skip_depth = 0
+    a_depth = 0
+    chrome_depth = 0
+    cur = _Block(chrome=False)
+
+    def flush() -> None:
+        nonlocal cur
+        text = _norm_ws(_decode_entities(" ".join(cur.texts)))
+        if text:
+            density = cur.link_chars / cur.chars if cur.chars else 0.0
+            items.append(("text", text, density, cur.chrome))
+        cur = _Block(chrome=chrome_depth > 0)
+
+    i, n = 0, len(html)
+    while i < n:
+        c = html[i]
+        if c == "<":
+            j = html.find(">", i + 1)
+            if j < 0:  # unterminated tag: treat rest as text
+                if not skip_depth:
+                    t = html[i + 1 :]
+                    cur.texts.append(t)
+                    cur.chars += len(t)
+                    if a_depth:
+                        cur.link_chars += len(t)
+                break
+            raw = html[i + 1 : j].strip()
+            i = j + 1
+            if not raw or raw.startswith("!"):  # comment/doctype
+                continue
+            closing = raw.startswith("/")
+            body = raw[1:] if closing else raw
+            name_end = 0
+            while name_end < len(body) and (body[name_end].isalnum() or body[name_end] in "-_"):
+                name_end += 1
+            name = body[:name_end].lower()
+            if not name:
+                continue
+            self_closing = raw.endswith("/") or name in VOID_TAGS
+
+            if name in SKIP_TAGS:
+                if closing:
+                    if skip_depth:
+                        skip_depth -= 1
+                elif not self_closing:
+                    skip_depth += 1
+                continue
+            if skip_depth:
+                continue
+
+            if name == "img" and not closing:
+                flush()
+                src = _extract_attr(body, "src")
+                if src:
+                    items.append(("media", src))
+                continue
+            if name in BLOCK_TAGS:
+                flush()
+            if name == "a":
+                if closing:
+                    a_depth = max(0, a_depth - 1)
+                elif not self_closing:
+                    a_depth += 1
+            if name in CHROME_TAGS:
+                if closing:
+                    chrome_depth = max(0, chrome_depth - 1)
+                    cur.chrome = chrome_depth > 0
+                elif not self_closing:
+                    chrome_depth += 1
+                    cur.chrome = True
+            if not self_closing:
+                if closing:
+                    if name in stack:
+                        # pop to the matching open tag (tolerates misnesting)
+                        while stack and stack[-1] != name:
+                            stack.pop()
+                        if stack:
+                            stack.pop()
+                else:
+                    stack.append(name)
+        else:
+            j = html.find("<", i)
+            if j < 0:
+                j = n
+            if not skip_depth:
+                t = html[i:j]
+                stripped = t.strip()
+                if stripped:
+                    cur.texts.append(t)
+                    cur.chars += len(stripped)
+                    if a_depth:
+                        cur.link_chars += len(stripped)
+            i = j
+    flush()
+    return items
+
+
+def _extract_attr(tag_body: str, attr: str) -> str:
+    low = tag_body.lower()
+    key = attr + "="
+    k = low.find(key)
+    if k < 0:
+        return ""
+    v = tag_body[k + len(key) :]
+    if v[:1] in ("'", '"'):
+        q = v[0]
+        end = v.find(q, 1)
+        return v[1:end] if end > 0 else v[1:]
+    end = 0
+    while end < len(v) and not v[end].isspace() and v[end] != ">":
+        end += 1
+    return v[:end]
+
+
+def classify_blocks(items: list[tuple]) -> list[tuple]:
+    """Keep content blocks + their media; drop boilerplate.
+
+    Returns ordered kept items as ``("text", text)`` / ``("media", src)``.
+    """
+    text_idx = [k for k, it in enumerate(items) if it[0] == "text"]
+    n_text = len(text_idx)
+    strong = [False] * n_text
+    eligible = [False] * n_text
+    for t, k in enumerate(text_idx):
+        _, text, density, chrome = items[k]
+        words = len(text.split())
+        if chrome or density > MAX_LINK_DENSITY:
+            continue
+        eligible[t] = words >= WEAK_WORDS
+        strong[t] = words >= STRONG_WORDS
+    keep_text = list(strong)
+    for t in range(n_text):
+        if eligible[t] and not strong[t]:
+            prev_strong = t > 0 and strong[t - 1]
+            next_strong = t + 1 < n_text and strong[t + 1]
+            keep_text[t] = prev_strong or next_strong
+
+    kept_by_item = {}
+    for t, k in enumerate(text_idx):
+        kept_by_item[k] = keep_text[t]
+
+    out: list[tuple] = []
+    for k, it in enumerate(items):
+        if it[0] == "text":
+            if kept_by_item[k]:
+                out.append(("text", it[1]))
+        else:  # media: keep iff nearest surrounding text block is content
+            prev_keep = next_keep = False
+            for p in range(k - 1, -1, -1):
+                if items[p][0] == "text":
+                    prev_keep = kept_by_item[p]
+                    break
+            for q in range(k + 1, len(items)):
+                if items[q][0] == "text":
+                    next_keep = kept_by_item[q]
+                    break
+            if prev_keep or next_keep:
+                out.append(("media", it[1]))
+    return out
+
+
+def extract_html_items(html: str) -> list[tuple]:
+    """tokenize + classify in one call: ordered kept (kind, payload) items."""
+    return classify_blocks(tokenize_html(html))

@@ -1,0 +1,167 @@
+"""Deterministic synthesis of the north-rule input table.
+
+``BASELINE.json input_hint`` pins the engine's input shape:
+
+    documents(doc_id: string,
+              spans: array<struct<kind:string, text:string,
+                                  media_ref:string, offset:int>>)
+
+The driver's ``/root/testdata/sf*/documents.parquet`` is a *flat* text table
+(doc_id bigint, text, lang, source, n_chars) — so we derive the span table
+from it deterministically (pure function of (doc_id, text), no RNG state, no
+clock), exactly reproducible in plain Python for the pytest oracle and in
+Spark via ``mapInPandas`` for scale.
+
+Per FIXTURES.md §1 the corpus includes:
+(a) HTML spans with nav/footer/link-list boilerplate around real content,
+(b) interleaved text + media (img refs between paragraphs),
+(c) heavy tail: mega-docs with ~100× median span count (skew exercise),
+(d) empty-span docs,
+(e) duplicate offsets across kinds (merge tie-break exercise).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT), True),
+    ]
+)
+
+MEGA_MOD = 97  # doc_id % 97 == 13 → mega-doc
+EMPTY_MOD = 131  # doc_id % 131 == 7 → empty-span doc
+DUP_OFFSET_MOD = 7  # doc_id % 7 == 0 → duplicate offset across kinds
+
+
+def _chunks(words: list[str], size: int) -> list[str]:
+    return [" ".join(words[i : i + size]) for i in range(0, len(words), size)] or [""]
+
+
+def _sentence(words: list[str], seed: int, length: int) -> str:
+    n = len(words)
+    if n == 0:
+        return "lorem ipsum"
+    return " ".join(words[(seed * 7 + k * 13) % n] for k in range(length))
+
+
+def make_spans(doc_id: int, text: str) -> list[dict]:
+    """Pure function (doc_id, base text) → north-rule span list."""
+    if doc_id % EMPTY_MOD == 7:
+        return []
+
+    words = text.split()
+    paras = _chunks(words, 24)
+    mega = doc_id % MEGA_MOD == 13
+    reps = 100 if mega else 1
+
+    spans: list[dict] = []
+    off = 0
+
+    def add(kind: str, txt: str, ref: str, offset: int) -> None:
+        spans.append({"kind": kind, "text": txt, "media_ref": ref, "offset": offset})
+
+    # --- span 1: HTML page with chrome boilerplate around content ---
+    nav = (
+        "<nav><ul>"
+        + "".join(f'<li><a href="/s{doc_id % 5}/{k}">section {k}</a></li>' for k in range(5))
+        + "</ul></nav>"
+    )
+    footer = (
+        '<footer><p><a href="/terms">terms</a> <a href="/privacy">privacy</a> '
+        f"copyright {2000 + doc_id % 25}</p></footer>"
+    )
+    linkfarm = (
+        "<div><p>"
+        + " ".join(f'<a href="/tag/{k}">tag{(doc_id + k) % 50}</a>' for k in range(8))
+        + "</p></div>"
+    )
+    body_parts = [nav, f"<h1>{_sentence(words, doc_id, 4)}</h1>"]
+    for r in range(reps):
+        for pi, para in enumerate(paras):
+            body_parts.append(f"<p>{para} tail{(doc_id + r + pi) % 9}.</p>")
+            if pi % 3 == 1:
+                body_parts.append(f'<img src="s3://corpus/{doc_id}/p{r}_{pi}.jpg">')
+        if r == 0:
+            body_parts.append(linkfarm)
+    body_parts.append(footer)
+    add("html", "<html><body>" + "".join(body_parts) + "</body></html>", "", off)
+    off += 10
+
+    # --- span 2: plain text ---
+    add("text", f"  {_sentence(words, doc_id + 1, 12)}  \n {_sentence(words, doc_id + 2, 9)} ", "", off)
+    off += 10
+
+    # --- span 3: standalone media (interleaved) ---
+    add("image", "", f"s3://corpus/{doc_id}/figure_main.png", off)
+    if doc_id % DUP_OFFSET_MOD == 0:
+        # duplicate offset across kinds: tie-break exercise
+        add("text", _sentence(words, doc_id + 3, 7), "", off)
+    off += 10
+
+    # --- span 4: pdf layout payload ---
+    lines = []
+    y = 10.0
+    for li in range(6 if not mega else 60):
+        gap = 30.0 if li % 3 == 0 and li else 12.0  # every 3rd line: region break
+        y += gap
+        lines.append(f"50,{y:.1f},550,{y + 10.0:.1f}\t{_sentence(words, doc_id + li, 6)}")
+    add("pdf", "\n".join(lines), "", off)
+    off += 10
+
+    # --- span 5: trailing audio media ---
+    if doc_id % 3 == 0:
+        add("audio", "", f"s3://corpus/{doc_id}/clip.flac", off)
+    return spans
+
+
+def make_documents_pdf(flat: pd.DataFrame, replicate: int = 1) -> pd.DataFrame:
+    """Flat (doc_id:int64, text) pandas frame → span-table pandas frame.
+
+    ``replicate`` > 1 scales the corpus: replica r of base doc d becomes
+    doc_id ``d*replicate + r`` (string form ``doc_{id:010d}`` keeps sorts
+    lexicographic == numeric).
+    """
+    rows = []
+    for base_id, text in zip(flat["doc_id"].astype("int64"), flat["text"].astype(str)):
+        for r in range(replicate):
+            did = int(base_id) * replicate + r
+            rows.append((f"doc_{did:010d}", make_spans(did, text)))
+    return pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+
+def synthesize_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed synthesis: read the flat table, expand via mapInPandas.
+
+    The expansion runs inside executors (Arrow batches), so a 100 TB corpus
+    would be synthesized/scanned in parallel — no driver materialization.
+    """
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if partitions:
+        flat = flat.repartition(partitions, "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield make_documents_pdf(pdf, replicate=replicate)
+
+    return flat.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)

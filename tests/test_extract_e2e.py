@@ -1,0 +1,110 @@
+"""End-to-end: Spark extraction pipeline vs the pure-Python oracle.
+
+The per-row invariant from BASELINE.json: span-sequence equality
+``(kind, text, media_ref, order)`` per document. The oracle is the kernel
+run directly (driver-side, no Spark) on the same deterministic input.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from openllm_ocr_annotator_spark.kernel.merge import extract_document
+from openllm_ocr_annotator_spark.operators.extract import (
+    extract_pipeline,
+    extract_spans,
+    lineage_metrics,
+    renest_spans,
+)
+from openllm_ocr_annotator_spark.synth import make_spans, synthesize_documents
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def flat_docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+
+
+@pytest.fixture(scope="module")
+def oracle_sequences(flat_docs) -> dict[str, list[tuple]]:
+    out = {}
+    for doc_id, text in zip(flat_docs["doc_id"], flat_docs["text"]):
+        spans = make_spans(int(doc_id), str(text))
+        seq = [(s["kind"], s["text"], s["media_ref"]) for s in extract_document(spans)]
+        out[f"doc_{int(doc_id):010d}"] = seq
+    return out
+
+
+def _spark_sequences(df) -> dict[str, list[tuple]]:
+    rows = df.select("doc_id", "kind", "text", "media_ref", "offset").collect()
+    by_doc: dict[str, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.offset, r.kind, r.text, r.media_ref))
+    return {
+        d: [(k, t, m) for _, k, t, m in sorted(v)] for d, v in by_doc.items()
+    }
+
+
+def test_span_sequence_equality_vs_oracle(spark, oracle_sequences):
+    docs = synthesize_documents(spark, SF_DIR)
+    got = _spark_sequences(extract_spans(docs))
+    want = {d: s for d, s in oracle_sequences.items() if s}  # empty docs emit no rows
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d], f"sequence mismatch for {d}"
+
+
+def test_salted_repartition_preserves_sequences(spark, oracle_sequences):
+    docs = synthesize_documents(spark, SF_DIR)
+    out = extract_pipeline(docs, num_partitions=7, with_lineage=True)
+    got = _spark_sequences(out)
+    want = {d: s for d, s in oracle_sequences.items() if s}
+    assert got == want
+
+
+def test_lineage_metrics_account_for_everything(spark):
+    docs = synthesize_documents(spark, SF_DIR)
+    out = extract_pipeline(docs, num_partitions=7, with_lineage=True).cache()
+    try:
+        lm = lineage_metrics(out).collect()
+        assert sum(r.span_count for r in lm) == out.count()
+        # global xor of per-partition checksums is partition-layout-invariant
+        total = 0
+        for r in lm:
+            total ^= r.checksum
+        lm2 = lineage_metrics(
+            extract_pipeline(docs, num_partitions=3, with_lineage=True)
+        ).collect()
+        total2 = 0
+        for r in lm2:
+            total2 ^= r.checksum
+        assert total == total2
+        assert sum(r.span_count for r in lm2) == sum(r.span_count for r in lm)
+    finally:
+        out.unpersist()
+
+
+def test_renest_round_trip(spark, oracle_sequences):
+    docs = synthesize_documents(spark, SF_DIR)
+    nested = renest_spans(extract_spans(docs))
+    rows = nested.collect()
+    for r in rows:
+        seq = [(s["kind"], s["text"], s["media_ref"]) for s in r.spans]
+        assert seq == oracle_sequences[r.doc_id]
+        assert [s["offset"] for s in r.spans] == list(range(len(seq)))
+
+
+def test_empty_and_mega_docs_present_in_corpus(flat_docs):
+    ids = [int(i) for i in flat_docs["doc_id"]]
+    assert any(i % 131 == 7 for i in ids), "corpus must include empty-span docs"
+    assert any(i % 97 == 13 for i in ids), "corpus must include mega-docs"
+    mega = next(i for i in ids if i % 97 == 13)
+    text = str(flat_docs.loc[flat_docs["doc_id"] == mega, "text"].iloc[0])
+    n_out = len(extract_document(make_spans(mega, text)))
+    med = sorted(
+        len(extract_document(make_spans(int(i), str(t))))
+        for i, t in zip(flat_docs["doc_id"], flat_docs["text"])
+    )[len(ids) // 2]
+    assert n_out > 20 * max(med, 1), "mega-doc should dominate the median"
