@@ -165,3 +165,376 @@ def q_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_samples"))
         .filter(F.col("n_samples") == 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ensemble votes (A1/A2/W1/W3/P4) over annotations derived deterministically
+# from lineitem/events — identical derivation in Spark and the oracle SQL.
+# ---------------------------------------------------------------------------
+
+_ANN_SQL = """
+  SELECT l_orderkey AS doc_id,
+         'ann_' || CAST(l_suppkey % 4 AS VARCHAR) AS annotator_id,
+         'f' || CAST(l_linenumber % 3 AS VARCHAR) AS field_name,
+         l_returnflag AS value,
+         0.25 * (l_linenumber % 5) AS confidence
+  FROM lineitem
+"""
+
+_WEIGHTS = [("ann_0", 1.0), ("ann_1", 2.0), ("ann_2", 0.5), ("ann_3", 1.0)]
+
+
+def _derived_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.concat(F.lit("ann_"), (F.col("l_suppkey") % 4).cast("string")).alias("annotator_id"),
+        F.concat(F.lit("f"), (F.col("l_linenumber") % 3).cast("string")).alias("field_name"),
+        F.col("l_returnflag").alias("value"),
+        (F.lit(0.25) * (F.col("l_linenumber") % 5)).alias("confidence"),
+    )
+
+
+@_q(
+    "weighted_vote",
+    f"""
+    WITH ann AS ({_ANN_SQL}),
+    w AS (SELECT * FROM (VALUES {", ".join(f"('{a}', {w})" for a, w in _WEIGHTS)})
+          t(annotator_id, weight)),
+    scored AS (
+      SELECT a.doc_id, a.field_name, a.value,
+             SUM(coalesce(w.weight, 1.0) * a.confidence) AS score
+      FROM ann a LEFT JOIN w USING (annotator_id)
+      WHERE a.field_name IS NOT NULL AND a.field_name <> ''
+        AND a.value IS NOT NULL AND a.value <> ''
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT doc_id, field_name, value, score,
+             SUM(score) OVER (PARTITION BY doc_id, field_name) AS total,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, field_name
+                                ORDER BY score DESC, value ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, field_name, value,
+           CASE WHEN total > 0 THEN round(score / total, 6) ELSE 0.0 END AS confidence
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_weighted_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W1/P4: flagship weighted-vote aggregation (reference:
+    voters/weighted.py:38-134). Confidence rounded to 6dp on both sides —
+    float sum order is partition-dependent at the 1e-15 level."""
+    from .operators.vote import weighted_vote
+
+    ann = _derived_annotations(spark, sf_dir)
+    weights = spark.createDataFrame(_WEIGHTS, "annotator_id string, weight double")
+    out = weighted_vote(ann, weights)
+    return out.withColumn("confidence", F.round("confidence", 6))
+
+
+@_q(
+    "majority_vote",
+    """
+    WITH votes AS (
+      SELECT user_id % 100 AS doc_id, 'event_type' AS field_name,
+             event_type AS value
+      FROM events
+    )
+    SELECT doc_id, field_name, value, n_votes FROM (
+      SELECT doc_id, field_name, value, COUNT(*) AS n_votes,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, field_name
+                                ORDER BY COUNT(*) DESC, value ASC) AS rn
+      FROM votes GROUP BY 1, 2, 3
+    ) WHERE rn = 1
+    """,
+)
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/W3: mode per key with pinned tie-break (reference:
+    voters/majority.py:10-18)."""
+    from .operators.vote import majority_vote
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    votes = ev.select(
+        (F.col("user_id") % 100).alias("doc_id"),
+        F.lit("event_type").alias("field_name"),
+        F.col("event_type").alias("value"),
+    )
+    return majority_vote(votes)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation (J2, F1-F6, A3-A7) over gt/pred derived from orders.
+# ---------------------------------------------------------------------------
+
+_GT_SQL = """
+  SELECT o_orderkey AS doc_id, 'status' AS field_name,
+         o_orderstatus AS value FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'contract_date', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'transaction_amount',
+         CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.00 USD' FROM orders
+"""
+
+_PRED_SQL = """
+  SELECT o_orderkey AS doc_id, 'status' AS field_name,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS value
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey, 'contract_date',
+         CASE WHEN o_orderkey % 5 = 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey, 'transaction_amount',
+         CASE WHEN o_orderkey % 7 = 0
+              THEN 'USD ' || CAST(CAST(floor(o_totalprice) AS BIGINT) + 1 AS VARCHAR)
+              ELSE 'USD ' || CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) END
+  FROM orders WHERE o_orderkey % 11 <> 0
+"""
+
+
+def _derived_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    amount = F.concat(
+        F.floor("o_totalprice").cast("bigint").cast("string"), F.lit(".00 USD")
+    )
+    return (
+        o.select(F.col("o_orderkey").alias("doc_id"), F.lit("status").alias("field_name"),
+                 F.col("o_orderstatus").alias("value"))
+        .unionAll(
+            o.select(F.col("o_orderkey"), F.lit("contract_date"),
+                     F.date_format("o_orderdate", "yyyy-MM-dd"))
+        )
+        .unionAll(o.select(F.col("o_orderkey"), F.lit("transaction_amount"), amount))
+    )
+
+
+def _derived_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") % 11 != 0)
+    status = F.when(F.col("o_orderkey") % 3 == 0, F.lit("X")).otherwise(F.col("o_orderstatus"))
+    cdate = F.when(
+        F.col("o_orderkey") % 5 == 0, F.date_format("o_orderdate", "yyyy/MM/dd")
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    base_amt = F.floor("o_totalprice").cast("bigint")
+    amount = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.concat(F.lit("USD "), (base_amt + 1).cast("string")),
+    ).otherwise(F.concat(F.lit("USD "), base_amt.cast("string")))
+    return (
+        o.select(F.col("o_orderkey").alias("doc_id"), F.lit("status").alias("field_name"),
+                 status.alias("value"))
+        .unionAll(o.select(F.col("o_orderkey"), F.lit("contract_date"), cdate))
+        .unionAll(o.select(F.col("o_orderkey"), F.lit("transaction_amount"), amount))
+    )
+
+
+def _oracle_correct_sql() -> str:
+    """The matcher dispatch (F6) as DuckDB SQL, from the shared templates."""
+    from .functions import matchers as M
+
+    date_sql = M.date_match_duckdb_sql("g.value", "p.value")
+    cur_sql = M.render(M.CURRENCY_SQL, "g.value", "p.value", 0.01)
+    return f"""
+      CASE WHEN p.value IS NULL THEN false
+           WHEN g.field_name = 'contract_date' THEN coalesce({date_sql}, false)
+           WHEN g.field_name = 'transaction_amount' THEN coalesce({cur_sql}, false)
+           ELSE coalesce(g.value = p.value, false) END
+    """
+
+
+_EVAL_BASE_SQL = f"""
+  WITH gt AS ({_GT_SQL}), pred AS ({_PRED_SQL}),
+  evaluated AS (
+    SELECT g.doc_id, g.field_name, ({_oracle_correct_sql()}) AS correct
+    FROM gt g LEFT JOIN pred p
+      ON g.doc_id = p.doc_id AND g.field_name = p.field_name
+  )
+"""
+
+
+@_q(
+    "eval_field_accuracy",
+    _EVAL_BASE_SQL
+    + """
+    SELECT field_name,
+           SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS n_correct,
+           COUNT(*) AS n_total,
+           round(AVG(CASE WHEN correct THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM evaluated GROUP BY field_name
+    """,
+)
+def q_eval_field_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+F6+A4: gt↔pred left join, matcher dispatch, per-field accuracy
+    (reference: evaluators/field_evaluator.py:68-142)."""
+    from .operators.evaluate import evaluate_fields, field_accuracy
+
+    ev = evaluate_fields(_derived_gt(spark, sf_dir), _derived_pred(spark, sf_dir))
+    return field_accuracy(ev).withColumn("accuracy", F.round("accuracy", 6))
+
+
+@_q(
+    "eval_doc_accuracy",
+    _EVAL_BASE_SQL
+    + """
+    SELECT doc_id,
+           round(AVG(CASE WHEN correct THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+           (MIN(CASE WHEN correct THEN 1 ELSE 0 END) = 1) AS exact_match,
+           COUNT(*) AS n_fields
+    FROM evaluated GROUP BY doc_id
+    """,
+)
+def q_eval_doc_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-document accuracy + exact-match flag
+    (reference: evaluators/field_evaluator.py:15-66)."""
+    from .operators.evaluate import doc_accuracy, evaluate_fields
+
+    ev = evaluate_fields(_derived_gt(spark, sf_dir), _derived_pred(spark, sf_dir))
+    return doc_accuracy(ev).withColumn("accuracy", F.round("accuracy", 6))
+
+
+@_q(
+    "eval_overall",
+    _EVAL_BASE_SQL
+    + """
+    , per_doc AS (
+      SELECT doc_id, AVG(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy,
+             (MIN(CASE WHEN correct THEN 1 ELSE 0 END) = 1) AS exact_match
+      FROM evaluated GROUP BY doc_id
+    )
+    SELECT round(AVG(accuracy), 6) AS mean_accuracy,
+           round(AVG(CASE WHEN exact_match THEN 1.0 ELSE 0.0 END), 6) AS exact_match_rate,
+           COUNT(*) AS n_docs
+    FROM per_doc
+    """,
+)
+def q_eval_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 global: mean accuracy + perfect-match rate."""
+    from .operators.evaluate import doc_accuracy, evaluate_fields, overall_stats
+
+    ev = evaluate_fields(_derived_gt(spark, sf_dir), _derived_pred(spark, sf_dir))
+    out = overall_stats(doc_accuracy(ev))
+    return out.select(
+        F.round("mean_accuracy", 6).alias("mean_accuracy"),
+        F.round("exact_match_rate", 6).alias("exact_match_rate"),
+        "n_docs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling evaluation (A5/A6/W2) over per-sample correctness from lineitem.
+# ---------------------------------------------------------------------------
+
+_SAMPLES_SQL = """
+  SELECT l_orderkey AS doc_id, l_linenumber AS sample_id,
+         'f' || CAST(l_partkey % 3 AS VARCHAR) AS field_name,
+         ((l_partkey + l_linenumber) % 3 = 0) AS correct
+  FROM lineitem
+"""
+
+
+def _derived_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.col("l_linenumber").alias("sample_id"),
+        F.concat(F.lit("f"), (F.col("l_partkey") % 3).cast("string")).alias("field_name"),
+        ((F.col("l_partkey") + F.col("l_linenumber")) % 3 == 0).alias("correct"),
+    )
+
+
+@_q(
+    "sampling_stats",
+    f"""
+    WITH samples AS ({_SAMPLES_SQL}),
+    per_sample AS (
+      SELECT doc_id, sample_id,
+             AVG(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy,
+             (MIN(CASE WHEN correct THEN 1 ELSE 0 END) = 1) AS exact_match
+      FROM samples GROUP BY doc_id, sample_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY accuracy DESC, sample_id ASC) AS rn
+      FROM per_sample
+    )
+    SELECT doc_id,
+           round(AVG(accuracy), 6) AS mean_accuracy,
+           round(MAX(accuracy), 6) AS max_accuracy,
+           round(MIN(accuracy), 6) AS min_accuracy,
+           (MAX(CASE WHEN exact_match THEN 1 ELSE 0 END) = 1) AS any_exact_match,
+           COUNT(*) AS n_samples,
+           MAX(CASE WHEN rn = 1 THEN sample_id END) AS best_sample_id
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_sampling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/W2: per-doc over-samples stats, best-of-n by argmax accuracy
+    (reference: evaluators/sampling_evaluator.py:67-114)."""
+    from .operators.evaluate import sampling_stats
+
+    out = sampling_stats(_derived_samples(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.round("mean_accuracy", 6).alias("mean_accuracy"),
+        F.round("max_accuracy", 6).alias("max_accuracy"),
+        F.round("min_accuracy", 6).alias("min_accuracy"),
+        "any_exact_match",
+        "n_samples",
+        "best_sample_id",
+    )
+
+
+@_q(
+    "sampling_effectiveness",
+    f"""
+    WITH samples AS ({_SAMPLES_SQL}),
+    per_sample AS (
+      SELECT doc_id, sample_id,
+             AVG(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy
+      FROM samples GROUP BY doc_id, sample_id
+    ),
+    per_doc AS (
+      SELECT doc_id, MAX(accuracy) - AVG(accuracy) AS gap
+      FROM per_sample GROUP BY doc_id
+    )
+    SELECT round(AVG(gap), 6) AS mean_improvement,
+           round(MAX(gap), 6) AS max_improvement,
+           round(MIN(gap), 6) AS min_improvement
+    FROM per_doc
+    """,
+)
+def q_sampling_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: global best-vs-mean improvement stats
+    (reference: evaluators/sampling_evaluator.py:157-172)."""
+    from .operators.evaluate import sampling_effectiveness, sampling_stats
+
+    out = sampling_effectiveness(sampling_stats(_derived_samples(spark, sf_dir)))
+    return out.select(
+        F.round("mean_improvement", 6).alias("mean_improvement"),
+        F.round("max_improvement", 6).alias("max_improvement"),
+        F.round("min_improvement", 6).alias("min_improvement"),
+    )
+
+
+@_q(
+    "confidence_bands",
+    """
+    SELECT band, COUNT(*) AS n FROM (
+      SELECT CASE WHEN value - floor(value) < 0.65 THEN 'low'
+                  WHEN value - floor(value) < 0.85 THEN 'medium'
+                  ELSE 'high' END AS band
+      FROM events
+    ) GROUP BY band
+    """,
+)
+def q_confidence_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: low/medium/high confidence banding
+    (reference: apps/streamlit_viewer.py:106-111)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frac = F.col("value") - F.floor("value")
+    band = (
+        F.when(frac < 0.65, "low").when(frac < 0.85, "medium").otherwise("high")
+    )
+    return ev.select(band.alias("band")).groupBy("band").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,72 @@
+"""JSON extraction chain pinned to the reference's formatter expectations
+(reference: tests/utils/test_formatter.py:34-62,118-121)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from openllm_ocr_annotator_spark.functions.json_extract import (
+    extract_json_str,
+    parse_result,
+    remove_comments,
+)
+
+RESULT_SCHEMA = (
+    "struct<fields: array<struct<field_name string, value string, confidence double>>>"
+)
+
+
+def _extract(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "raw string")
+    return [r.j for r in df.select(extract_json_str(F.col("raw")).alias("j")).collect()]
+
+
+def test_markdown_json_block(spark):
+    text = 'prefix\n```json\n{"fields": []}\n```\nsuffix'
+    (got,) = _extract(spark, [text])
+    assert json.loads(got) == {"fields": []}
+
+
+def test_bare_fence_block(spark):
+    text = '```\n{"a": 1}\n```'
+    (got,) = _extract(spark, [text])
+    assert json.loads(got) == {"a": 1}
+
+
+def test_comments_stripped(spark):
+    text = '```json\n{// line comment\n "a": 1 /* block */ }\n```'
+    (got,) = _extract(spark, [text])
+    assert json.loads(got) == {"a": 1}
+
+
+def test_whole_text_fallback(spark):
+    (got,) = _extract(spark, ['{"b": 2}'])
+    assert json.loads(got) == {"b": 2}
+
+
+def test_think_prefix_brace_scan(spark):
+    text = '<think>reasoning {not json} more</think> answer: {"c": 3}'
+    (got,) = _extract(spark, [text])
+    assert json.loads(got) == {"c": 3}
+
+
+def test_invalid_gives_null(spark):
+    (got,) = _extract(spark, ["no json here at all"])
+    assert got is None
+
+
+def test_parse_result_typed(spark):
+    text = '```json\n{"fields": [{"field_name": "x", "value": "1", "confidence": 0.5}]}\n```'
+    df = spark.createDataFrame([(text,)], "raw string")
+    row = df.select(parse_result(F.col("raw"), RESULT_SCHEMA).alias("r")).first().r
+    assert row.fields[0].field_name == "x"
+    assert row.fields[0].confidence == 0.5
+
+
+def test_remove_comments_expression(spark):
+    df = spark.createDataFrame([('{"a": 1} // tail\n/* block */ rest',)], "s string")
+    got = df.select(remove_comments(F.col("s")).alias("c")).first().c
+    assert "//" not in got and "/*" not in got
+    assert '{"a": 1}' in got
