@@ -1,0 +1,94 @@
+"""Text-analysis column functions for training-data curation.
+
+All JVM-side expressions (no Python in the hot path): language-ID
+(marker-token heuristic), quality scoring (length/stopword/uppercase
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (normalized-vocabulary digest; a rolling-hash variant lives
+in kernel/dedup.py for the non-SQL path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker vocabularies for the n-gram/marker language heuristic. Deliberately
+# tiny and deterministic; real deployments swap in per-language stopword
+# tables — the *plan shape* (argmax over marker-set hit counts) is the point.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "code": ("spark", "batch", "stream", "query"),
+    "data": ("join", "merge", "sort", "table"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # BPE-ish: runs of letters / digits / single punct
+
+
+def words(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words(text), lambda w: w.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-count argmax; ties and zero hits → 'unknown'.
+
+    Expressed as a greatest-of CASE so it stays one codegen'd projection.
+    """
+    hits = {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    result = F.lit("unknown")
+    # iterate reversed-sorted so earlier (alphabetically smaller) lang wins ties
+    for lang in sorted(hits, reverse=True):
+        result = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(words(text), lambda w: w != ""))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count (letters runs + digit runs + punct chars)."""
+    return F.regexp_count(F.lower(text), F.lit(TOKEN_REGEX))
+
+
+def stopword_ratio(text: Column) -> Column:
+    n = token_count_ws(text)
+    return F.when(n > 0, marker_hits(text, STOPWORDS) / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    w = F.filter(words(text), lambda x: x != "")
+    total = F.aggregate(F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x)
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic (Gopher/C4-style signals):
+
+      0.25·(length in [16,512] tokens) + 0.25·(mean word len in [3,10])
+    + 0.25·(stopword ratio ≥ 0.01)     + 0.25·(non-empty alpha content)
+    """
+    n = token_count_ws(text)
+    mwl = mean_word_len(text)
+    has_alpha = F.regexp_count(F.lower(text), F.lit("[a-z]")) > 0
+    return (
+        F.when((n >= 16) & (n <= 512), 0.25).otherwise(0.0)
+        + F.when((mwl >= 3.0) & (mwl <= 10.0), 0.25).otherwise(0.0)
+        + F.when(stopword_ratio(text) >= 0.01, 0.25).otherwise(0.0)
+        + F.when(has_alpha, 0.25).otherwise(0.0)
+    )
+
+
+def vocab_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    lowercase vocabulary. Stable under token reordering — pairs with
+    exact_dedup for shuffled-boilerplate detection."""
+    vocab = F.array_sort(F.array_distinct(F.filter(words(text), lambda w: w != "")))
+    return F.md5(F.concat_ws(" ", vocab))

@@ -1,0 +1,115 @@
+"""Numpy kernels for near-duplicate detection: MinHash + SimHash.
+
+Pure functions shared between the Spark operators (called per Arrow batch
+inside ``mapInPandas``/``applyInPandas``) and the pytest oracles. No
+third-party hash libs: a splitmix64-style avalanche over a polynomial
+rolling hash gives deterministic, well-mixed 64-bit shingle hashes
+identically on every platform.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_POLY_P = np.uint64(1099511628211)  # FNV-ish multiplier
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & MASK64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & MASK64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & MASK64
+    return x ^ (x >> np.uint64(31))
+
+
+def hash_token(token: str) -> np.uint64:
+    """Deterministic 64-bit string hash (FNV-1a core + splitmix finalizer)."""
+    h = np.uint64(14695981039346656037)
+    with np.errstate(over="ignore"):
+        for b in token.encode("utf-8"):
+            h = ((h ^ np.uint64(b)) * _POLY_P) & MASK64
+        return np.uint64(_splitmix64(np.array([h], dtype=np.uint64))[0])
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Distinct n-gram (word-shingle) hashes; combines token hashes with a
+    positional polynomial so 'a b'+'c' != 'a'+'b c'."""
+    tokens = text.lower().split()
+    if len(tokens) < n:
+        tokens = tokens + [""] * (n - len(tokens))  # short docs: pad to one shingle
+    th = np.array([hash_token(t) for t in tokens], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = th[: len(th) - n + 1].copy()
+        for k in range(1, n):
+            acc = (acc * _POLY_P + th[k : len(th) - n + 1 + k]) & MASK64
+        return np.unique(_splitmix64(acc))
+
+
+# --- MinHash -----------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) signature: min over shingles of (a*h + b) mod 2^61-1."""
+    if shingles.size == 0:
+        return np.full(a.shape, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (num_perm, n_shingles): wrap-around multiply is fine — it is a
+        # fixed deterministic mixing, applied identically everywhere.
+        prod = (a[:, None] * shingles[None, :] + b[:, None]) & MASK64
+        prod %= _MERSENNE
+        return prod.min(axis=1)
+
+
+def band_hashes(signature: np.ndarray, num_bands: int) -> np.ndarray:
+    """LSH banding: hash each contiguous band of the signature to one bucket key."""
+    rows = signature.size // num_bands
+    bands = signature[: rows * num_bands].reshape(num_bands, rows)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(num_bands, dtype=np.uint64)
+        for r in range(rows):
+            acc = (acc * _POLY_P + bands[:, r]) & MASK64
+        return _splitmix64(acc)
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def exact_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    sa, sb = set(shingle_hashes(text_a, n)), set(shingle_hashes(text_b, n))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash64(text: str) -> np.uint64:
+    """64-bit SimHash over word tokens (unweighted)."""
+    tokens = text.lower().split()
+    if not tokens:
+        return np.uint64(0)
+    th = np.array([hash_token(t) for t in tokens], dtype=np.uint64)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    counts = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if counts[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(int(a) ^ int(b)).count("1")

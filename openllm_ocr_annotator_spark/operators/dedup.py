@@ -1,0 +1,245 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (its "dedup" is only the file-existence cache,
+pipeline/image_dataset.py:43-47) — added as first-class engine capability:
+
+- exact_dedup:      hash-groupBy on content digest, keep canonical row.
+- ngram_jaccard:    exact n-gram-set Jaccard over all pairs (oracle-able;
+                    the quadratic self-join is the *verifier*, not the scale
+                    path).
+- minhash_lsh:      MinHash signatures (numpy kernel per Arrow batch) →
+                    LSH banding → candidate pairs via band-bucket self-join
+                    → signature-estimated Jaccard filter. The scale path:
+                    cost is O(docs × bands) + Σ bucket², never all-pairs.
+- simhash_pairs:    64-bit SimHash + pigeonhole banding (k chunks; hamming
+                    distance ≤ d pairs must share ≥1 of d+1 chunks).
+
+Scale notes (100 TB):
+- signatures are computed in one narrow mapInPandas pass (no shuffle);
+- the only shuffles are the band-bucket exchanges, keyed by (band_idx,
+  band_hash) — uniformly distributed by construction; a pathological bucket
+  (identical boilerplate across millions of docs) is capped by
+  ``max_bucket_size`` with dropped-bucket accounting, the documented
+  trade-off every production LSH dedup makes;
+- pair emission uses doc_a < doc_b to halve the join and dedups via
+  distinct on (doc_a, doc_b).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel import dedup as K
+
+SIG_SCHEMA = "doc_id long, signature array<long>"
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 digest groupBy; canonical = min doc_id per digest."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def ngram_tokens(text_col, n: int = 3):
+    """Distinct word n-grams as an array column (JVM-side, codegen)."""
+    words = F.split(F.lower(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    # guard: Spark's sequence(1, x) runs DESCENDING for x < 1 — short docs
+    # must yield an empty gram set, not junk grams.
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (inverted-index join, not cross).
+
+    Inverted index on shingles → equi-join on the gram → count common grams
+    per pair → |A∩B| / (|A|+|B|−|A∩B|). Only pairs sharing ≥1 gram are ever
+    materialized.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(ngram_tokens(F.col(text_col), n)).alias("g")
+    ).filter(F.col("g") != "")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 64, shingle_n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text", seed: int = 42,
+) -> DataFrame:
+    """Narrow pass: text → MinHash signature (numpy kernel per Arrow batch)."""
+    a, b = K.perm_params(num_perm, seed)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [
+                K.minhash_signature(K.shingle_hashes(str(t), shingle_n), a, b)
+                .astype(np.int64)
+                .tolist()
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "signature": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=SIG_SCHEMA)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_perm: int = 64, num_bands: int = 16,
+    threshold: float = 0.7, shingle_n: int = 3,
+    max_bucket_size: int = 1000, seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding + signature-estimated Jaccard.
+
+    rows-per-band = num_perm/num_bands tunes the S-curve: with 64 perms /
+    16 bands (4 rows), P(candidate) ≈ 1-(1-j^4)^16 — steep near j≈0.6.
+    """
+    sigs = minhash_signatures(docs, num_perm, shingle_n, seed=seed).cache()
+
+    def band_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, band_idx, band_hash = [], [], []
+            for did, sig in zip(pdf["doc_id"], pdf["signature"]):
+                bh = K.band_hashes(np.asarray(sig, dtype=np.int64).view(np.uint64), num_bands)
+                doc_ids.extend([did] * num_bands)
+                band_idx.extend(range(num_bands))
+                band_hash.extend(bh.astype(np.int64).tolist())
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "band_idx": band_idx, "band_hash": band_hash}
+            )
+
+    bands = sigs.mapInPandas(band_kernel, schema="doc_id long, band_idx int, band_hash long")
+
+    # cap pathological buckets (mega-boilerplate clusters) — documented drop
+    bucket_sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
+    bands = bands.join(
+        bucket_sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("sig_a")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk banding.
+
+    With (max_hamming+1) chunks, any pair within the distance budget shares
+    at least one identical chunk — join on chunks, verify exact hamming.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [int(K.simhash64(str(t))) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    # store as signed int64 (two's complement view)
+                    "simhash": np.array(hashes, dtype=np.uint64).astype(np.int64),
+                }
+            )
+
+    hashes = docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id long, simhash long"
+    ).cache()
+
+    chunks = hashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: JVM-side expression math (zip_with + aggregate,
+  whole-stage codegen) — the exactness baseline and the oracle target.
+- LSH-bucketed ANN: random-hyperplane signatures (numpy per Arrow batch,
+  deterministic seed) → bucket equi-join → exact rerank within buckets.
+  Multi-probe via XOR-1 neighbors of the bucket code raises recall without
+  widening the join fan-out quadratically.
+
+Scale: brute force is O(Q×N×d) — fine for Q small (a probe set), never for
+N×N. The LSH path shuffles on bucket id only; at 10^12 rows bucket width is
+tuned via ``num_planes`` (buckets ≈ 2^planes uniformly filled).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_col(a, b):
+    """Cosine similarity between two array<double> columns (codegen'd)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self)."""
+    q = _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
+    c = _as_double(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv")
+    scored = (
+        q.crossJoin(F.broadcast(c))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplanes(dim: int, num_planes: int, num_tables: int = 1, seed: int = 42) -> np.ndarray:
+    """(num_tables, num_planes, dim) — multiple independent hash tables."""
+    return np.random.RandomState(seed).normal(size=(num_tables, num_planes, dim))
+
+
+def lsh_bucket_ids(
+    vectors: DataFrame, planes: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    multi_probe: bool = False,
+) -> DataFrame:
+    """(vec_id, bucket) rows over L independent tables.
+
+    bucket = (table_idx << num_planes) | sign-bit code; with multi_probe,
+    all XOR-1 neighbor codes are also emitted (query-side probing).
+    """
+    n_tables, n_planes, _ = planes.shape
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids, buckets = [], []
+            for t in range(n_tables):
+                bits = (mat @ planes[t].T) > 0  # (n, planes)
+                codes = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+                base = t << n_planes
+                for did, code in zip(pdf[id_col], codes):
+                    ids.append(did)
+                    buckets.append(base | int(code))
+                    if multi_probe:
+                        for p in range(n_planes):
+                            ids.append(did)
+                            buckets.append(base | (int(code) ^ (1 << p)))
+            yield pd.DataFrame({"vec_id": ids, "bucket": buckets})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        kernel, schema="vec_id long, bucket long"
+    )
+
+
+def lsh_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    num_planes: int = 6, num_tables: int = 4, dim: int = 64, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: bucket join (queries multi-probed) + exact rerank.
+
+    num_tables × num_planes tunes recall vs candidate fan-out: more tables
+    raise recall multiplicatively (1-(1-p)^L); more planes shrink buckets.
+    """
+    planes = hyperplanes(dim, num_planes, num_tables, seed)
+    qb = lsh_bucket_ids(queries, planes, id_col, vec_col, multi_probe=True).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cb = lsh_bucket_ids(corpus, planes, id_col, vec_col).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    cand = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
+    c = _as_double(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv")
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame, threshold: float = 0.95,
+    num_planes: int = 8, num_tables: int = 4, dim: int = 64, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify.
+
+    Near-dups (cosine ≥ 0.95) collide on all planes with high probability,
+    so narrow buckets + several tables give near-1 recall with tiny fan-out.
+    """
+    planes = hyperplanes(dim, num_planes, num_tables, seed)
+    b = lsh_bucket_ids(vectors, planes, id_col, vec_col, multi_probe=True)
+    a1 = b.alias("a")
+    b1 = b.alias("b")
+    cand = (
+        a1.join(
+            b1,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = _as_double(vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "va")
+    vb = _as_double(vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "vb")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -538,3 +538,235 @@ def q_confidence_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(frac < 0.65, "low").when(frac < 0.85, "medium").otherwise("high")
     )
     return ev.select(band.alias("band")).groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / similarity / text analysis.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-digest groupBy, canonical row = min doc_id."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i.g : i.g + 2], ' ') AS g
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g) i
+    ),
+    grams_ne AS (SELECT doc_id, g FROM grams WHERE g <> ''),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams_ne GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM grams_ne a JOIN grams_ne b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join (the
+    correctness baseline for the MinHash-LSH scale path)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@_q("dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (banded signatures; non-SQL kernel →
+    rows-only check; recall vs exact jaccard pinned in tests/test_dedup.py)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@_q("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk banding (rows-only)."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@_q(
+    "similarity_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cos
+      FROM q, e c WHERE q.vec_id <> c.vec_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM s
+    )
+    SELECT query_id, neighbor_id, rn AS rank, round(cos, 6) AS cosine
+    FROM r WHERE rn <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (JVM-side zip_with/aggregate math; the
+    exactness baseline for the LSH ANN path)."""
+    from .operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@_q("similarity_lsh_topk")
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH buckets + exact rerank
+    (rows-only; recall vs brute force pinned in tests/test_similarity.py)."""
+    from .operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@_q("embedding_near_dups")
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH buckets + exact verify;
+    rows-only — the sf corpus has no pairs above 0.9, tests synthesize them)."""
+    from .operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.9)
+
+
+_LANG_HITS_SQL = {
+    "en": "len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','of','and')))",
+    "code": "len(list_filter(string_split(lower(text), ' '), x -> x IN ('spark','batch','stream','query')))",
+    "data": "len(list_filter(string_split(lower(text), ' '), x -> x IN ('join','merge','sort','table')))",
+}
+
+
+@_q(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_LANG_HITS_SQL["en"]} AS h_en,
+             {_LANG_HITS_SQL["code"]} AS h_code,
+             {_LANG_HITS_SQL["data"]} AS h_data
+      FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(h_en, h_code, h_data) = 0 THEN 'unknown'
+                  WHEN h_code = greatest(h_en, h_code, h_data) THEN 'code'
+                  WHEN h_data = greatest(h_en, h_code, h_data) THEN 'data'
+                  ELSE 'en' END AS lang_hat
+      FROM scored
+    )
+    SELECT lang_hat, count(*) AS n_docs FROM labeled GROUP BY lang_hat
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic → label distribution."""
+    from .functions.text import lang_id
+
+    return (
+        _docs(spark, sf_dir)
+        .select(lang_id(F.col("text")).alias("lang_hat"))
+        .groupBy("lang_hat")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_q(
+    "text_quality",
+    """
+    WITH q AS (
+      SELECT doc_id,
+        (CASE WHEN len(list_filter(string_split(lower(text),' '), x -> x <> '')) BETWEEN 16 AND 512 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN (list_sum(list_transform(list_filter(string_split(lower(text),' '), x -> x <> ''), x -> length(x))) * 1.0
+                    / len(list_filter(string_split(lower(text),' '), x -> x <> ''))) BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN (len(list_filter(string_split(lower(text),' '), x -> x IN ('the','a','of','and','to','in'))) * 1.0
+                    / len(list_filter(string_split(lower(text),' '), x -> x <> ''))) >= 0.01 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN len(regexp_extract_all(lower(text), '[a-z]')) > 0 THEN 0.25 ELSE 0.0 END) AS quality
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT quality, count(*) AS n_docs FROM q GROUP BY quality
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-score distribution."""
+    from .functions.text import quality_score
+
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars") > 0)
+        .select(quality_score(F.col("text")).alias("quality"))
+        .groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_q(
+    "text_token_stats",
+    """
+    SELECT source,
+           sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS ws_tokens,
+           sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting per source."""
+    from .functions.text import token_count_bpe, token_count_ws
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum(token_count_ws(F.col("text")).cast("long")).alias("ws_tokens"),
+            F.sum(token_count_bpe(F.col("text")).cast("long")).alias("bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' ')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary fingerprint dedup (order-insensitive content digest)."""
+    from .functions.text import vocab_fingerprint
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", vocab_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1,0 +1,103 @@
+"""Dedup operators: kernel parity + LSH recall properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from openllm_ocr_annotator_spark.kernel import dedup as K
+from openllm_ocr_annotator_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and merges sorted runs into "
+    "final output files for downstream consumers every single day"
+)
+NEAR = BASE.replace("lazy dog", "sleepy cat")  # small edit
+OTHER = (
+    "completely different content about databases and query optimization "
+    "with columnar storage vectorized execution and adaptive planning "
+    "nothing in common with the animal sentence above at all whatsoever"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER), (4, ""), (5, "tiny doc")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical(spark, corpus):
+    got = {r.digest: (r.keep_id, r.n_dups) for r in exact_dedup(corpus).collect()}
+    dup_groups = [v for v in got.values() if v[1] > 1]
+    assert dup_groups == [(0, 2)]  # docs 0 and 1 identical, keep min id
+
+
+def test_ngram_jaccard_exact_pairs(spark, corpus):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(corpus, 0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any({a, b} & {3} for a, b in pairs)  # OTHER matches nothing
+
+
+def test_minhash_signature_kernel_parity(spark, corpus):
+    sigs = {r.doc_id: np.array(r.signature, dtype=np.int64)
+            for r in minhash_signatures(corpus, num_perm=32).collect()}
+    a, b = K.perm_params(32, 42)
+    for doc_id, text in [(0, BASE), (2, NEAR), (3, OTHER), (4, ""), (5, "tiny doc")]:
+        want = K.minhash_signature(K.shingle_hashes(text, 3), a, b).astype(np.int64)
+        assert (sigs[doc_id] == want).all(), f"doc {doc_id}"
+
+
+def test_minhash_estimates_track_exact_jaccard():
+    a, b = K.perm_params(128, 42)
+    sa = K.minhash_signature(K.shingle_hashes(BASE), a, b)
+    sn = K.minhash_signature(K.shingle_hashes(NEAR), a, b)
+    so = K.minhash_signature(K.shingle_hashes(OTHER), a, b)
+    assert K.estimate_jaccard(sa, sa) == 1.0
+    exact = K.exact_jaccard(BASE, NEAR)
+    assert abs(K.estimate_jaccard(sa, sn) - exact) < 0.2
+    assert K.estimate_jaccard(sa, so) < 0.2
+
+
+def test_minhash_lsh_finds_dups_not_strangers(spark, corpus):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # exact dup always found
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_kernel_properties():
+    h_base = K.simhash64(BASE)
+    assert K.simhash64(BASE) == h_base  # deterministic
+    assert K.hamming64(h_base, K.simhash64(NEAR)) <= 16  # small edit, near hash
+    assert K.hamming64(h_base, K.simhash64(OTHER)) > 16
+
+
+def test_simhash_pairs_spark(spark, corpus):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(corpus, max_hamming=16).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_lsh_recall_on_testdata(spark):
+    """LSH candidates must cover the exact-jaccard pairs at the threshold."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, num_perm=128, num_bands=32, threshold=0.6).collect()
+    }
+    if exact:
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"

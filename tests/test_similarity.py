@@ -1,0 +1,75 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from openllm_ocr_annotator_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    rows = emb.collect()
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    got = brute_force_topk(emb.filter("vec_id < 5"), emb, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+    for qid, neigh in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:3]
+        want = [(int(ids[i]), round(float(cos[i]), 6)) for i in order]
+        assert [n for n, _ in neigh] == [n for n, _ in want]
+        for (_, c_got), (_, c_want) in zip(neigh, want):
+            assert abs(c_got - c_want) < 1e-5
+
+
+def test_lsh_topk_recall(spark, emb):
+    k = 5
+    exact = brute_force_topk(emb.filter("vec_id < 50"), emb, k=k).collect()
+    # near-random embeddings are LSH's worst case (no cluster structure):
+    # 8 tables × 6 planes + multi-probe buys usable recall on them
+    approx = lsh_topk(emb.filter("vec_id < 50"), emb, k=k, num_planes=6, num_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for q, want in exact_sets.items():
+        hits += len(want & approx_sets.get(q, set()))
+        total += len(want)
+    assert hits / total >= 0.5, f"ANN recall {hits / total:.2f}"
+
+
+def test_near_dups_finds_planted_duplicates(spark, emb):
+    # plant two near-identical vectors: copy of vec 0 with tiny noise
+    import pyspark.sql.functions as F
+
+    base = emb.filter("vec_id = 0").first()
+    v = np.array(base.embedding, dtype=np.float32)
+    planted = spark.createDataFrame(
+        [(10001, (v + 1e-4).tolist(), 0), (10002, v.tolist(), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    all_vecs = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dups(all_vecs, 0.99).collect()}
+    assert (0, 10001) in pairs and (0, 10002) in pairs and (10001, 10002) in pairs
+    assert all(c > 0.99 for c in pairs.values())
+    del F
