@@ -770,3 +770,86 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sinks / splits / media plumbing (K1-K4, O4, §multimodal).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "split_assignment",
+    """
+    SELECT split, count(*) AS n_docs FROM (
+      SELECT CASE
+        WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 1)) * 256
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 2, 1))) % 100 < 80 THEN 'train'
+        WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 1)) * 256
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 2, 1))) % 100 < 90 THEN 'test'
+        ELSE 'validation' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/K4: deterministic hash-bucket train/test/validation split
+    (reference: utils/dataset_converter.py:112-145; contract = determinism
+    + ratio, not HF bit-parity — SURVEY §7.3)."""
+    from .sinks.export import split_column
+
+    return (
+        _docs(spark, sf_dir)
+        .select(split_column(F.col("doc_id")).alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_q("tsv_span_sink")
+def q_tsv_span_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: ordered TSV span lines (rows-only: sink format, order-sensitive;
+    ordering pinned by tests/test_resume_sinks.py)."""
+    from .operators.extract import extract_spans
+    from .sinks.export import tsv_span_lines
+
+    docs = synth.synthesize_documents(spark, sf_dir)
+    return tsv_span_lines(extract_spans(docs))
+
+
+@_q("doc_json_payloads")
+def q_doc_json_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: per-document JSON payload rows (rows-only: JSON text formatting
+    is engine-specific; payload content pinned by tests)."""
+    from .operators.extract import extract_spans, renest_spans
+    from .sinks.export import doc_json_payload
+
+    docs = synth.synthesize_documents(spark, sf_dir)
+    nested = renest_spans(extract_spans(docs))
+    return doc_json_payload(nested, ["spans"])
+
+
+@_q("media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: media spans → decoded metadata + feature vectors
+    (decode stubbed deterministically — no PIL in container; plumbing real)."""
+    from .operators.extract import extract_spans
+    from .operators.media import extract_media_features
+
+    docs = synth.synthesize_documents(spark, sf_dir)
+    media = extract_spans(docs).filter(F.col("media_ref") != "").select(
+        "doc_id", "media_ref", "kind"
+    )
+    return extract_media_features(media)
+
+
+@_q("media_frame_sample")
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: video frame-sampling plan (every-Nth-frame explode)."""
+    from .operators.extract import extract_spans
+    from .operators.media import extract_media_features, frame_sample_plan
+
+    docs = synth.synthesize_documents(spark, sf_dir)
+    media = extract_spans(docs).filter(F.col("media_ref") != "").select(
+        "doc_id", "media_ref", "kind"
+    )
+    return frame_sample_plan(extract_media_features(media), every_n=30)

@@ -1,0 +1,79 @@
+"""Exports K1-K4 + split O4 (SURVEY §2.2, §2.8).
+
+- JSONL (K2, reference utils/formatter.py:77-81): ``df.write.json`` — one
+  object per line, partition-parallel.
+- Per-doc JSON payloads (K1, formatter.py:71-74): the engine's unit of
+  persistence is a row, not a file; ``to_json(struct(...))`` produces the
+  same payload contract, checked per row.
+- TSV span sink (K3, formatter.py:111-114): the reference's only
+  span-ordered emission — tab-joined spans, ordered (doc_id, offset) via
+  ``sortWithinPartitions`` after range-partitioning on doc_id, so the file
+  set is globally ordered without a single-reducer sort.
+- split parquet (O4/K4, utils/dataset_converter.py:112-145): deterministic
+  hash-bucket split. NOT bit-identical to HF train_test_split(seed=42) —
+  the correctness contract is determinism + ratio, stated in SURVEY §7.3;
+  hash-bucketing beats randomSplit because membership is a pure function of
+  the key (stable under re-partitioning, resumable, joinable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_json_payload(df: DataFrame, payload_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """K1: one JSON payload per document row."""
+    return df.select(
+        F.col(id_col), F.to_json(F.struct(*payload_cols)).alias("payload")
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K2: line-delimited JSON."""
+    df.write.mode(mode).json(path)
+
+
+def tsv_span_lines(extracted: DataFrame) -> DataFrame:
+    """K3: ordered tab-joined span lines (doc_id, kind, text, media_ref)."""
+    line = F.concat_ws("\t", "doc_id", "offset", "kind", "text", "media_ref")
+    return (
+        extracted.repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id", "offset")
+        .select(line.alias("value"))
+    )
+
+
+def write_tsv_spans(extracted: DataFrame, path: str, mode: str = "overwrite") -> None:
+    tsv_span_lines(extracted).write.mode(mode).text(path)
+
+
+def split_bucket(key: Column, seed: int = 42) -> Column:
+    """Deterministic 0..99 bucket from a key (engine-portable: md5 + ascii
+    arithmetic, reproducible in any SQL dialect for oracles)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}")))
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+
+
+def split_column(
+    key: Column, train: float = 0.8, test: float = 0.1, seed: int = 42
+) -> Column:
+    """O4: train/test/validation label as a pure function of the key."""
+    b = split_bucket(key, seed)
+    return (
+        F.when(b < int(train * 100), "train")
+        .when(b < int((train + test) * 100), "test")
+        .otherwise("validation")
+    )
+
+
+def write_split_parquet(
+    df: DataFrame, path: str, key_col: str = "doc_id",
+    train: float = 0.8, test: float = 0.1, seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """K4: split-partitioned parquet dataset (partition pruning on split)."""
+    out = df.withColumn("split", split_column(F.col(key_col), train, test, seed))
+    out.write.mode(mode).partitionBy("split").parquet(path)
