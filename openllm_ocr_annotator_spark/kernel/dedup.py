@@ -9,6 +9,8 @@ identically on every platform.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -23,12 +25,32 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash_token(token: str) -> np.uint64:
-    """Deterministic 64-bit string hash (FNV-1a core + splitmix finalizer)."""
-    h = np.uint64(14695981039346656037)
+    """Deterministic 64-bit string hash.
+
+    Two salted CRC32 passes (C-speed, stable across platforms/processes —
+    unlike Python's hash()) packed to 64 bits, then a splitmix finalizer
+    for avalanche. ~100× faster than a per-byte Python FNV loop.
+    """
+    b = token.encode("utf-8")
+    lo = zlib.crc32(b)
+    hi = zlib.crc32(b, 0x9E3779B9)
+    h = np.uint64(lo) | (np.uint64(hi) << np.uint64(32))
     with np.errstate(over="ignore"):
-        for b in token.encode("utf-8"):
-            h = ((h ^ np.uint64(b)) * _POLY_P) & MASK64
         return np.uint64(_splitmix64(np.array([h], dtype=np.uint64))[0])
+
+
+def hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Vectorized batch variant of ``hash_token``."""
+    packed = np.fromiter(
+        (
+            zlib.crc32(b) | (zlib.crc32(b, 0x9E3779B9) << 32)
+            for b in (t.encode("utf-8") for t in tokens)
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    with np.errstate(over="ignore"):
+        return _splitmix64(packed)
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
@@ -37,7 +59,7 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     tokens = text.lower().split()
     if len(tokens) < n:
         tokens = tokens + [""] * (n - len(tokens))  # short docs: pad to one shingle
-    th = np.array([hash_token(t) for t in tokens], dtype=np.uint64)
+    th = hash_tokens(tokens)
     with np.errstate(over="ignore"):
         acc = th[: len(th) - n + 1].copy()
         for k in range(1, n):
@@ -99,7 +121,7 @@ def simhash64(text: str) -> np.uint64:
     tokens = text.lower().split()
     if not tokens:
         return np.uint64(0)
-    th = np.array([hash_token(t) for t in tokens], dtype=np.uint64)
+    th = hash_tokens(tokens)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )

@@ -25,6 +25,8 @@ All rules are deterministic; no randomness, no wall clock.
 
 from __future__ import annotations
 
+import re
+
 # Tags whose open/close flushes the current text block.
 BLOCK_TAGS = frozenset(
     """p div li h1 h2 h3 h4 h5 h6 td th tr table ul ol dl dt dd section
@@ -77,12 +79,20 @@ class _Block:
         self.texts: list[str] = []
 
 
+_TAG_RE = re.compile(r"<([^>]*)>")
+_NAME_RE = re.compile(r"[a-zA-Z0-9_-]*")
+
+
 def tokenize_html(html: str) -> list[tuple]:
     """Tokenize into an ordered item list.
 
     Returns items in document order:
       ``("text", text, link_density, chrome: bool)`` — normalized block text
       ``("media", src)``                             — embedded image ref
+
+    Single regex scan over tags (C-speed) + slice handling of the text
+    segments between them; blocks flush lazily (no allocation for the
+    back-to-back block tags that dominate real markup).
     """
     items: list[tuple] = []
     stack: list[str] = []
@@ -93,92 +103,94 @@ def tokenize_html(html: str) -> list[tuple]:
 
     def flush() -> None:
         nonlocal cur
-        text = _norm_ws(_decode_entities(" ".join(cur.texts)))
-        if text:
-            density = cur.link_chars / cur.chars if cur.chars else 0.0
-            items.append(("text", text, density, cur.chrome))
-        cur = _Block(chrome=chrome_depth > 0)
+        if cur.texts:
+            text = _norm_ws(_decode_entities(" ".join(cur.texts)))
+            if text:
+                density = cur.link_chars / cur.chars if cur.chars else 0.0
+                items.append(("text", text, density, cur.chrome))
+            cur = _Block(chrome=chrome_depth > 0)
 
-    i, n = 0, len(html)
-    while i < n:
-        c = html[i]
-        if c == "<":
-            j = html.find(">", i + 1)
-            if j < 0:  # unterminated tag: treat rest as text
-                if not skip_depth:
-                    t = html[i + 1 :]
-                    cur.texts.append(t)
-                    cur.chars += len(t)
-                    if a_depth:
-                        cur.link_chars += len(t)
-                break
-            raw = html[i + 1 : j].strip()
-            i = j + 1
-            if not raw or raw.startswith("!"):  # comment/doctype
-                continue
-            closing = raw.startswith("/")
-            body = raw[1:] if closing else raw
-            name_end = 0
-            while name_end < len(body) and (body[name_end].isalnum() or body[name_end] in "-_"):
-                name_end += 1
-            name = body[:name_end].lower()
-            if not name:
-                continue
-            self_closing = raw.endswith("/") or name in VOID_TAGS
+    def add_text(t: str) -> None:
+        stripped = t.strip()
+        if stripped:
+            cur.texts.append(t)
+            cur.chars += len(stripped)
+            if a_depth:
+                cur.link_chars += len(stripped)
 
-            if name in SKIP_TAGS:
-                if closing:
-                    if skip_depth:
-                        skip_depth -= 1
-                elif not self_closing:
-                    skip_depth += 1
-                continue
-            if skip_depth:
-                continue
+    pos = 0
+    for m in _TAG_RE.finditer(html):
+        if m.start() > pos and not skip_depth:
+            add_text(html[pos : m.start()])
+        pos = m.end()
 
-            if name == "img" and not closing:
-                flush()
-                src = _extract_attr(body, "src")
-                if src:
-                    items.append(("media", src))
-                continue
-            if name in BLOCK_TAGS:
-                flush()
-            if name == "a":
-                if closing:
-                    a_depth = max(0, a_depth - 1)
-                elif not self_closing:
-                    a_depth += 1
-            if name in CHROME_TAGS:
-                if closing:
-                    chrome_depth = max(0, chrome_depth - 1)
-                    cur.chrome = chrome_depth > 0
-                elif not self_closing:
-                    chrome_depth += 1
-                    cur.chrome = True
-            if not self_closing:
-                if closing:
-                    if name in stack:
-                        # pop to the matching open tag (tolerates misnesting)
-                        while stack and stack[-1] != name:
-                            stack.pop()
-                        if stack:
-                            stack.pop()
-                else:
-                    stack.append(name)
-        else:
-            j = html.find("<", i)
-            if j < 0:
-                j = n
+        raw = m.group(1).strip()
+        if not raw or raw[0] == "!":  # comment/doctype
+            continue
+        closing = raw[0] == "/"
+        body = raw[1:] if closing else raw
+        name = _NAME_RE.match(body).group().lower()
+        if not name:
+            continue
+        self_closing = raw[-1] == "/" or name in VOID_TAGS
+
+        if name in SKIP_TAGS:
+            if closing:
+                if skip_depth:
+                    skip_depth -= 1
+            elif not self_closing:
+                skip_depth += 1
+            continue
+        if skip_depth:
+            continue
+
+        if name == "img" and not closing:
+            flush()
+            src = _extract_attr(body, "src")
+            if src:
+                items.append(("media", src))
+            continue
+        if name in BLOCK_TAGS:
+            flush()
+        if name == "a":
+            if closing:
+                a_depth = max(0, a_depth - 1)
+            elif not self_closing:
+                a_depth += 1
+        if name in CHROME_TAGS:
+            if closing:
+                chrome_depth = max(0, chrome_depth - 1)
+                cur.chrome = chrome_depth > 0
+            elif not self_closing:
+                chrome_depth += 1
+                cur.chrome = True
+        if not self_closing:
+            if closing:
+                if name in stack:
+                    # pop to the matching open tag (tolerates misnesting)
+                    while stack and stack[-1] != name:
+                        stack.pop()
+                    if stack:
+                        stack.pop()
+            else:
+                stack.append(name)
+
+    if pos < len(html):
+        tail = html[pos:]
+        j = tail.find("<")
+        if j < 0:
             if not skip_depth:
-                t = html[i:j]
-                stripped = t.strip()
-                if stripped:
-                    cur.texts.append(t)
-                    cur.chars += len(stripped)
-                    if a_depth:
-                        cur.link_chars += len(stripped)
-            i = j
+                add_text(tail)
+        else:
+            # unterminated trailing tag: text before it handled normally,
+            # the rest (sans '<') appended raw — matches the char-scanner
+            if not skip_depth:
+                add_text(tail[:j])
+                t = tail[j + 1 :]
+                cur.texts.append(t)
+                cur.chars += len(t)
+                if a_depth:
+                    cur.link_chars += len(t)
     flush()
     return items
 

@@ -65,16 +65,37 @@ def ngram_tokens(text_col, n: int = 3):
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.8, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (inverted-index join, not cross).
 
     Inverted index on shingles → equi-join on the gram → count common grams
     per pair → |A∩B| / (|A|+|B|−|A∩B|). Only pairs sharing ≥1 gram are ever
     materialized.
+
+    ``max_df``: drop shingles occurring in more than max_df documents before
+    anything else (Jaccard over *discriminative* grams). Without it, a
+    boilerplate gram shared by M docs contributes M² join rows — the
+    classic inverted-index hot-key blowup; with it, the join fan-out is
+    bounded by Σ min(df, max_df)². None = exact all-gram semantics (small
+    corpora / verification).
     """
+    # CPU-heavy on small byte volume: a single-file scan would serialize the
+    # explode + join probe on one core (and AQE coalesces by bytes, not CPU).
+    # One cheap row shuffle up front parallelizes the whole map side.
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < n_part:
+        docs = docs.repartition(n_part, id_col)
     grams = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(ngram_tokens(F.col(text_col), n)).alias("g")
     ).filter(F.col("g") != "")
+    if max_df is not None:
+        df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+        grams = grams.join(
+            F.broadcast(df_counts.filter(F.col("_df") <= max_df).select("g")),
+            "g",
+            "left_semi",
+        )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")

@@ -296,7 +296,8 @@ _PRED_SQL = """
 
 
 def _derived_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # regex-heavy matcher evaluation downstream: spread the single-file scan
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(32, "o_orderkey")
     amount = F.concat(
         F.floor("o_totalprice").cast("bigint").cast("string"), F.lit(".00 USD")
     )
@@ -312,7 +313,11 @@ def _derived_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _derived_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") % 11 != 0)
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .repartition(32, "o_orderkey")
+        .filter(F.col("o_orderkey") % 11 != 0)
+    )
     status = F.when(F.col("o_orderkey") % 3 == 0, F.lit("X")).otherwise(F.col("o_orderstatus"))
     cdate = F.when(
         F.col("o_orderkey") % 5 == 0, F.date_format("o_orderdate", "yyyy/MM/dd")
@@ -569,7 +574,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, array_to_string(w[i.g : i.g + 2], ' ') AS g
       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g) i
     ),
-    grams_ne AS (SELECT doc_id, g FROM grams WHERE g <> ''),
+    grams_all AS (SELECT doc_id, g FROM grams WHERE g <> ''),
+    rare AS (SELECT g FROM grams_all GROUP BY g HAVING count(*) <= 50),
+    grams_ne AS (SELECT doc_id, grams_all.g FROM grams_all JOIN rare USING (g)),
     sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams_ne GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -585,11 +592,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via inverted-index join (the
-    correctness baseline for the MinHash-LSH scale path)."""
+    """3-gram Jaccard near-dup pairs via inverted-index join with a
+    document-frequency cap (df<=50) on shingles — boilerplate grams would
+    otherwise contribute df^2 join rows each (hot-key blowup). Same cap in
+    the oracle SQL; exact all-gram semantics covered by tests."""
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, max_df=50)
 
 
 @_q("dedup_minhash_lsh")
@@ -853,3 +862,60 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_ref", "kind"
     )
     return frame_sample_plan(extract_media_features(media), every_n=30)
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction chain (U2/U3/U5) over derived raw LLM-style outputs.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "json_parse_chain",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 'reasoning prefix' || chr(10) || '```json' || chr(10)
+                      || '{"v": "' || source || '"}' || chr(10) || '```'
+          WHEN 1 THEN '{"v": "' || source || '"}'
+          ELSE 'no json payload here at all'
+        END AS raw_text
+      FROM documents
+    ),
+    fenced AS (
+      SELECT doc_id, raw_text,
+             regexp_extract(raw_text, '(?s)```(?:json)?\n(.*?)\n```', 1) AS f
+      FROM raw
+    )
+    SELECT doc_id,
+           json_extract_string(
+             CASE WHEN f <> '' AND json_valid(f) THEN f
+                  WHEN json_valid(raw_text) THEN raw_text END, '$.v') AS v
+    FROM fenced
+    """,
+)
+def q_json_parse_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/U3/U5 (reference: utils/formatter.py:28-68): fenced-block →
+    whole-text → brace-scan JSON extraction chain, typed via from_json."""
+    from .functions.json_extract import parse_result
+
+    raw = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 3) == 0,
+            F.concat(
+                F.lit("reasoning prefix\n```json\n"),
+                F.lit('{"v": "'), F.col("source"), F.lit('"}'),
+                F.lit("\n```"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 3) == 1,
+            F.concat(F.lit('{"v": "'), F.col("source"), F.lit('"}')),
+        )
+        .otherwise(F.lit("no json payload here at all"))
+        .alias("raw_text"),
+    )
+    return raw.select(
+        "doc_id", parse_result(F.col("raw_text"), "struct<v string>")["v"].alias("v")
+    )

@@ -1,0 +1,109 @@
+"""Plan-shape regressions: the physical plans the engine is designed around.
+
+At 100 TB, the difference between these plans and naive ones is the job:
+filters/projections must reach the parquet scan, small dims must broadcast,
+top-1-per-group must use WindowGroupLimit (no full sort of losers), and the
+extraction stage must stay shuffle-free. ``explain`` output is asserted so
+an innocent refactor can't silently regress the physical strategy.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openllm_ocr_annotator_spark import queries_catalog as qc
+from openllm_ocr_annotator_spark.operators.extract import extract_spans
+from openllm_ocr_annotator_spark.synth import synthesize_documents
+
+from .conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _n_exchanges(plan: str) -> int:
+    # formatted plans list each node twice (tree + "(n) Exchange" details)
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+
+
+def test_weighted_vote_plan(spark):
+    plan = _plan(qc.QUERIES["weighted_vote"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "weights dim must broadcast"
+    assert "PushedFilters" in plan
+    # falsy-field filter must reach the scan (P4 below the derivation)
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:200]
+    assert "WindowGroupLimit" in plan, "top-1 must not full-sort each group"
+    assert _n_exchanges(plan) <= 3, "agg + window shuffles only"
+
+
+def test_scan_limit_projection_pruned(spark):
+    plan = _plan(qc.QUERIES["scan_limit"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, "unused wide text column must be pruned"
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_resume_anti_join_stays_join(spark):
+    plan = _plan(qc.QUERIES["resume_anti_join"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_extract_is_shuffle_free(spark):
+    docs = synthesize_documents(spark, SF_DIR)
+    plan = _plan(extract_spans(docs))
+    assert "Exchange" not in plan, "extraction must be a narrow map stage"
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+
+def test_eval_join_pushes_filters(spark):
+    plan = _plan(qc.QUERIES["eval_field_accuracy"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+
+
+def test_topk_uses_broadcast_and_group_limit(spark):
+    plan = _plan(qc.QUERIES["similarity_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_majority_vote_partial_aggregation(spark):
+    plan = _plan(qc.QUERIES["majority_vote"](spark, SF_DIR))
+    # partial_count before the exchange = map-side combine
+    assert "partial_count" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "split_assignment", "text_token_stats"])
+def test_single_shuffle_aggregations(spark, name):
+    plan = _plan(qc.QUERIES[name](spark, SF_DIR))
+    assert _n_exchanges(plan) <= 1, f"{name} needs at most one shuffle"
+
+
+def test_lineage_checksum_is_jvm_side(spark):
+    docs = synthesize_documents(spark, SF_DIR)
+    from openllm_ocr_annotator_spark.operators.extract import (
+        extract_pipeline,
+        lineage_metrics,
+    )
+
+    plan = _plan(lineage_metrics(extract_pipeline(docs, num_partitions=4)))
+    assert "xxhash64" in plan
+    assert "bit_xor" in plan
+
+
+def test_session_defaults(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")) <= 1024
+
+
+def test_broadcast_threshold_effective(spark):
+    small = spark.range(10).withColumnRenamed("id", "k")
+    big = spark.range(100000).withColumnRenamed("id", "k")
+    plan = _plan(big.join(F.broadcast(small), "k"))
+    assert "BroadcastHashJoin" in plan
