@@ -719,7 +719,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       + (CASE WHEN len(regexp_extract_all(lower(text), '[a-z]')) > 0 THEN 0.25 ELSE 0.0 END) AS quality
       FROM documents WHERE n_chars > 0
     )
-    SELECT quality, count(*) AS n_docs FROM q GROUP BY quality
+    SELECT CAST(quality AS DOUBLE) AS quality, count(*) AS n_docs FROM q GROUP BY 1
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,8 +133,8 @@ def main() -> None:
             "low": lo2,
             "high": hi2,
             "scaling_efficiency_2x4_to_8x4": round(eff2, 3),
-            "note": "8x4 saturates the single box's shared DRAM (~75k docs/s "
-            "ceiling); a real 4N-machine cluster multiplies memory systems",
+            "note": "8x4 presses into the single box's shared-DRAM ceiling "
+            "(~100k docs/s); a real 4N-machine cluster multiplies memory systems",
         },
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
