@@ -31,10 +31,11 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..kernel import dedup as K
+from ._common import spread_partitions
 
 SIG_SCHEMA = "doc_id long, signature array<long>"
 
@@ -79,28 +80,34 @@ def ngram_jaccard_pairs(
     classic inverted-index hot-key blowup; with it, the join fan-out is
     bounded by Σ min(df, max_df)². None = exact all-gram semantics (small
     corpora / verification).
+
+    Physical shape: shingles are hashed to int64 (``xxhash64``) right after
+    the explode, so every downstream exchange/join moves 8-byte keys instead
+    of multi-word strings; the df cap is a window count over the gram key
+    (one exchange, partial-agg'd) — NOT a broadcast of the rare-gram set,
+    which is most of the vocabulary and would melt the driver at scale.
     """
-    # CPU-heavy on small byte volume: a single-file scan would serialize the
-    # explode + join probe on one core (and AQE coalesces by bytes, not CPU).
-    # One cheap row shuffle up front parallelizes the whole map side.
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if docs.rdd.getNumPartitions() < n_part:
-        docs = docs.repartition(n_part, id_col)
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(ngram_tokens(F.col(text_col), n)).alias("g")
-    ).filter(F.col("g") != "")
+    docs = spread_partitions(docs, id_col)
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(ngram_tokens(F.col(text_col), n)).alias("g"),
+        )
+        .filter(F.col("g") != "")
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+    )
     if max_df is not None:
-        df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
-        grams = grams.join(
-            F.broadcast(df_counts.filter(F.col("_df") <= max_df).select("g")),
-            "g",
-            "left_semi",
+        w = Window.partitionBy("gh")
+        grams = (
+            grams.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -135,7 +142,9 @@ def minhash_signatures(
             ]
             yield pd.DataFrame({"doc_id": pdf[id_col], "signature": sigs})
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema=SIG_SCHEMA)
+    return spread_partitions(docs.select(id_col, text_col), id_col).mapInPandas(
+        kernel, schema=SIG_SCHEMA
+    )
 
 
 def minhash_lsh_pairs(
@@ -224,7 +233,7 @@ def simhash_pairs(
                 }
             )
 
-    hashes = docs.select(id_col, text_col).mapInPandas(
+    hashes = spread_partitions(docs.select(id_col, text_col), id_col).mapInPandas(
         kernel, schema="doc_id long, simhash long"
     ).cache()
 

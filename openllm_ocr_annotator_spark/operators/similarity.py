@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._common import spread_partitions
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -101,7 +103,7 @@ def lsh_bucket_ids(
                             buckets.append(base | (int(code) ^ (1 << p)))
             yield pd.DataFrame({"vec_id": ids, "bucket": buckets})
 
-    return vectors.select(id_col, vec_col).mapInPandas(
+    return spread_partitions(vectors.select(id_col, vec_col), id_col).mapInPandas(
         kernel, schema="vec_id long, bucket long"
     )
 
