@@ -148,6 +148,119 @@ def lsh_topk(
     )
 
 
+def ivf_assignments(
+    vectors: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(vec_id, cell) rows: nearest-``nprobe`` coarse cells per vector.
+
+    Centroids ship to executors inside the Arrow-batch kernel closure (the
+    IVF coarse quantizer is small by design — even 2^18 cells × 64 dims is
+    ~128 MB, driver-holdable; it is trained on a sample, never the corpus).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cnorm.T  # (n, n_cells)
+            if nprobe == 1:
+                cells = sims.argmax(axis=1)[:, None]
+            else:
+                cells = np.argsort(-sims, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), cells.shape[1]),
+                    "cell": cells.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return spread_partitions(vectors.select(id_col, vec_col), id_col).mapInPandas(
+        kernel, schema="vec_id long, cell long"
+    )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame, n_cells: int = 32, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: first-``n_cells`` init + Lloyd steps.
+
+    Init = the ``n_cells`` lowest vec_ids (seedless determinism); each Lloyd
+    iteration assigns every vector to its nearest cell (narrow kernel pass)
+    and recomputes means via posexplode + groupBy(cell, dim) — a JVM-side
+    partial-aggregated shuffle, never a driver collect of the corpus.
+    """
+    init = (
+        corpus.orderBy(id_col).limit(n_cells)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r.v, dtype=np.float64) for r in init])
+    for _ in range(iters):
+        assign = ivf_assignments(corpus, centroids, id_col, vec_col, nprobe=1)
+        means = (
+            assign.join(
+                corpus.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                ),
+                "vec_id",
+            )
+            .select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        for row in means:
+            centroids[row.cell, row.dim] = row.mean
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    n_cells: int = 32, nprobe: int = 4, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus into inverted cells; probe
+    the ``nprobe`` nearest cells per query; exact cosine rerank inside.
+
+    The scale path for corpus×corpus-sized N where brute force's O(Q×N×d)
+    is out of reach: the join fans out only within probed cells
+    (E[candidates] ≈ Q × nprobe × N / n_cells).
+    """
+    centroids = ivf_train_centroids(corpus, n_cells, iters, id_col, vec_col)
+    cb = ivf_assignments(corpus, centroids, id_col, vec_col, nprobe=1).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    qb = ivf_assignments(queries, centroids, id_col, vec_col, nprobe=nprobe).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cand = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
+    c = _as_double(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv")
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame, threshold: float = 0.95,
     num_planes: int = 8, num_tables: int = 4, dim: int = 64, seed: int = 42,

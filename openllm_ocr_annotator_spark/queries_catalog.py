@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import synth
+from .functions import matchers as _M
 from .operators import extract
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -546,6 +547,173 @@ def q_confidence_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Matcher semantics (F1-F5) exposed directly: per-matcher match rates over
+# value pairs derived deterministically from orders. One derivation, both
+# engines; matcher expressions come from the shared templates.
+# ---------------------------------------------------------------------------
+
+_MATCHER_PAIRS_SQL = """
+  SELECT o_orderkey AS pair_id, m.matcher,
+    CASE m.matcher
+      WHEN 'exact'    THEN o_orderstatus
+      WHEN 'ci'       THEN 'Status-' || o_orderstatus
+      WHEN 'numeric'  THEN CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || ',000'
+      WHEN 'date'     THEN strftime(o_orderdate, '%Y-%m-%d')
+      ELSE CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.00 USD'
+    END AS gt,
+    CASE m.matcher
+      WHEN 'exact'    THEN CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus ELSE 'X' END
+      WHEN 'ci'       THEN CASE WHEN o_orderkey % 2 = 0
+                                THEN 'status-' || lower(o_orderstatus) ELSE 'zzz' END
+      WHEN 'numeric'  THEN CAST(CAST(floor(o_totalprice) AS BIGINT) + o_orderkey % 3 AS VARCHAR)
+                           || '000'
+      WHEN 'date'     THEN CASE CAST(o_orderkey % 3 AS INT)
+                             WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                             WHEN 1 THEN strftime(o_orderdate, '%Y/%m/%d')
+                             ELSE strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d') END
+      ELSE CASE CAST(o_orderkey % 3 AS INT)
+             WHEN 0 THEN 'USD ' || CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR)
+             WHEN 1 THEN CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.00 EUR'
+             ELSE 'N/A' END
+    END AS pred
+  FROM orders, (SELECT unnest(['exact','ci','numeric','date','currency']) AS matcher) m
+"""
+
+
+@_q(
+    "matcher_semantics",
+    f"""
+    WITH pairs AS ({_MATCHER_PAIRS_SQL})
+    SELECT matcher,
+           SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS n_match,
+           COUNT(*) AS n_total
+    FROM (
+      SELECT matcher, coalesce(CASE matcher
+        WHEN 'exact'    THEN {_M.render(_M.EXACT_SQL, "gt", "pred")}
+        WHEN 'ci'       THEN {_M.render(_M.CI_SQL, "gt", "pred")}
+        WHEN 'numeric'  THEN {_M.render(_M.NUMERIC_SQL, "gt", "pred", 1.0)}
+        WHEN 'date'     THEN {_M.date_match_duckdb_sql("gt", "pred")}
+        ELSE {_M.render(_M.CURRENCY_SQL, "gt", "pred", 0.01)} END, false) AS correct
+      FROM pairs
+    ) GROUP BY matcher
+    """,
+)
+def q_matcher_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5 (reference: utils/field_matcher.py:18-147): every matcher's
+    verdict over derived (gt, pred) pairs — exact, case-insensitive,
+    numeric (comma-strip + tolerance), date (same-format rule), currency
+    (separator disambiguation + code check + N/A→0)."""
+    from .functions import matchers as M
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(32, "o_orderkey")
+    amt = F.floor("o_totalprice").cast("bigint").cast("string")
+    date_iso = F.date_format("o_orderdate", "yyyy-MM-dd")
+    k = F.col("o_orderkey")
+    pair = lambda m, gt, pred: F.struct(  # noqa: E731
+        F.lit(m).alias("matcher"), gt.alias("gt"), pred.alias("pred")
+    )
+    pairs = o.select(
+        k.alias("pair_id"),
+        F.explode(
+            F.array(
+                pair(
+                    "exact",
+                    F.col("o_orderstatus"),
+                    F.when(k % 2 == 0, F.col("o_orderstatus")).otherwise(F.lit("X")),
+                ),
+                pair(
+                    "ci",
+                    F.concat(F.lit("Status-"), F.col("o_orderstatus")),
+                    F.when(
+                        k % 2 == 0,
+                        F.concat(F.lit("status-"), F.lower("o_orderstatus")),
+                    ).otherwise(F.lit("zzz")),
+                ),
+                pair(
+                    "numeric",
+                    F.concat(amt, F.lit(",000")),
+                    F.concat(
+                        (F.floor("o_totalprice").cast("bigint") + k % 3).cast("string"),
+                        F.lit("000"),
+                    ),
+                ),
+                pair(
+                    "date",
+                    date_iso,
+                    F.when(k % 3 == 0, date_iso)
+                    .when(k % 3 == 1, F.date_format("o_orderdate", "yyyy/MM/dd"))
+                    .otherwise(
+                        F.date_format(F.date_add("o_orderdate", 1), "yyyy-MM-dd")
+                    ),
+                ),
+                pair(
+                    "currency",
+                    F.concat(amt, F.lit(".00 USD")),
+                    F.when(k % 3 == 0, F.concat(F.lit("USD "), amt))
+                    .when(k % 3 == 1, F.concat(amt, F.lit(".00 EUR")))
+                    .otherwise(F.lit("N/A")),
+                ),
+            )
+        ).alias("p"),
+    ).select("pair_id", "p.matcher", "p.gt", "p.pred")
+    registry = {m: m for m in ("ci", "date", "numeric", "currency")}
+    correct = F.coalesce(
+        M.dispatch_match(
+            F.col("matcher"), F.col("gt"), F.col("pred"),
+            registry=registry, numeric_tolerance=1.0,
+        ),
+        F.lit(False),
+    )
+    return (
+        pairs.withColumn("correct", correct)
+        .groupBy("matcher")
+        .agg(
+            F.sum(F.when(F.col("correct"), 1).otherwise(0)).alias("n_match"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+@_q(
+    "annotator_union",
+    """
+    WITH legs AS (
+      SELECT o_orderkey AS doc_id, 'leg_0' AS annotator_id, o_orderstatus AS value
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, 'leg_1', o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 'leg_2', o_orderstatus FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT doc_id, count(*) AS n_legs,
+           min(annotator_id) AS first_leg, max(annotator_id) AS last_leg,
+           count(DISTINCT value) AS n_distinct_values
+    FROM legs GROUP BY doc_id
+    """,
+)
+def q_annotator_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/J1 (reference: voters/manager.py:35-97): N-way annotator-leg
+    fan-in as unionByName + groupBy(doc_id) — the collect_annotations
+    directory walk re-expressed as a union of tagged DataFrames."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    legs = [
+        o.filter(F.col("o_orderkey") % m == 0).select(
+            F.col("o_orderkey").alias("doc_id"),
+            F.lit(f"leg_{i}").alias("annotator_id"),
+            F.col("o_orderstatus").alias("value"),
+        )
+        for i, m in enumerate((2, 3, 5))
+    ]
+    union = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    return union.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.min("annotator_id").alias("first_leg"),
+        F.max("annotator_id").alias("last_leg"),
+        F.countDistinct("value").alias("n_distinct_values"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline ops: dedup / similarity / text analysis.
 # ---------------------------------------------------------------------------
 
@@ -654,6 +822,17 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@_q("similarity_ivf_topk")
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: coarse quantizer (deterministic Lloyd) + nprobe cell
+    probing + exact rerank (rows-only; recall vs brute force pinned in
+    tests/test_similarity.py)."""
+    from .operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=16, nprobe=4)
 
 
 @_q("embedding_near_dups")

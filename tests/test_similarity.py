@@ -73,3 +73,31 @@ def test_near_dups_finds_planted_duplicates(spark, emb):
     assert (0, 10001) in pairs and (0, 10002) in pairs and (10001, 10002) in pairs
     assert all(c > 0.99 for c in pairs.values())
     del F
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    from openllm_ocr_annotator_spark.operators.similarity import ivf_topk
+
+    k = 5
+    exact = brute_force_topk(emb.filter("vec_id < 30"), emb, k=k).collect()
+    approx = ivf_topk(emb.filter("vec_id < 30"), emb, k=k, n_cells=8, nprobe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for q, want in exact_sets.items():
+        hits += len(want & approx_sets.get(q, set()))
+        total += len(want)
+    # nprobe/n_cells = half the cells probed → recall well above half even
+    # on near-random vectors
+    assert hits / total >= 0.6, f"IVF recall {hits / total:.2f}"
+    # per-query result count is exactly k (candidate pool ≥ k at these params)
+    counts = {q: len(s) for q, s in approx_sets.items()}
+    assert all(c == k for c in counts.values())
+    # deterministic: same centroids (seedless first-k init) → same output
+    again = ivf_topk(emb.filter("vec_id < 30"), emb, k=k, n_cells=8, nprobe=4).collect()
+    assert sorted((r.query_id, r.rank, r.neighbor_id) for r in approx) == sorted(
+        (r.query_id, r.rank, r.neighbor_id) for r in again
+    )
