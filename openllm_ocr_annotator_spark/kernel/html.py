@@ -82,6 +82,18 @@ class _Block:
 _TAG_RE = re.compile(r"<([^>]*)>")
 _NAME_RE = re.compile(r"[a-zA-Z0-9_-]*")
 
+# One dict lookup per tag instead of four frozenset probes.
+_F_SKIP, _F_BLOCK, _F_CHROME, _F_VOID = 1, 2, 4, 8
+_TAG_FLAGS: dict[str, int] = {}
+for _t in SKIP_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SKIP
+for _t in BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
+for _t in CHROME_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_CHROME
+for _t in VOID_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_VOID
+
 
 def tokenize_html(html: str) -> list[tuple]:
     """Tokenize into an ordered item list.
@@ -90,12 +102,13 @@ def tokenize_html(html: str) -> list[tuple]:
       ``("text", text, link_density, chrome: bool)`` — normalized block text
       ``("media", src)``                             — embedded image ref
 
-    Single regex scan over tags (C-speed) + slice handling of the text
-    segments between them; blocks flush lazily (no allocation for the
-    back-to-back block tags that dominate real markup).
+    One ``re.split`` pass builds the alternating text/tag segment list at
+    C speed (no per-tag Match objects); the Python loop touches only the
+    segments, with tag-class flags resolved by a single dict lookup. Blocks
+    flush lazily (no allocation for the back-to-back block tags that
+    dominate real markup).
     """
     items: list[tuple] = []
-    stack: list[str] = []
     skip_depth = 0
     a_depth = 0
     chrome_depth = 0
@@ -118,13 +131,30 @@ def tokenize_html(html: str) -> list[tuple]:
             if a_depth:
                 cur.link_chars += len(stripped)
 
-    pos = 0
-    for m in _TAG_RE.finditer(html):
-        if m.start() > pos and not skip_depth:
-            add_text(html[pos : m.start()])
-        pos = m.end()
+    # parts[0::2] = text between tags, parts[1::2] = tag bodies (sans <>)
+    parts = _TAG_RE.split(html)
+    last = len(parts) - 1
+    flags_get = _TAG_FLAGS.get
+    for i, seg in enumerate(parts):
+        if not i & 1:
+            if seg and not skip_depth:
+                if i == last:
+                    # unterminated trailing '<...': text before it handled
+                    # normally, the rest (sans '<') appended raw — matches
+                    # the char-scanner semantics
+                    j = seg.find("<")
+                    if j >= 0:
+                        add_text(seg[:j])
+                        t = seg[j + 1 :]
+                        cur.texts.append(t)
+                        cur.chars += len(t)
+                        if a_depth:
+                            cur.link_chars += len(t)
+                        continue
+                add_text(seg)
+            continue
 
-        raw = m.group(1).strip()
+        raw = seg.strip()
         if not raw or raw[0] == "!":  # comment/doctype
             continue
         closing = raw[0] == "/"
@@ -132,9 +162,10 @@ def tokenize_html(html: str) -> list[tuple]:
         name = _NAME_RE.match(body).group().lower()
         if not name:
             continue
-        self_closing = raw[-1] == "/" or name in VOID_TAGS
+        flags = flags_get(name, 0)
+        self_closing = raw[-1] == "/" or flags & _F_VOID
 
-        if name in SKIP_TAGS:
+        if flags & _F_SKIP:
             if closing:
                 if skip_depth:
                     skip_depth -= 1
@@ -150,47 +181,21 @@ def tokenize_html(html: str) -> list[tuple]:
             if src:
                 items.append(("media", src))
             continue
-        if name in BLOCK_TAGS:
+        if flags & _F_BLOCK:
             flush()
         if name == "a":
             if closing:
                 a_depth = max(0, a_depth - 1)
             elif not self_closing:
                 a_depth += 1
-        if name in CHROME_TAGS:
+        if flags & _F_CHROME:
             if closing:
                 chrome_depth = max(0, chrome_depth - 1)
                 cur.chrome = chrome_depth > 0
             elif not self_closing:
                 chrome_depth += 1
                 cur.chrome = True
-        if not self_closing:
-            if closing:
-                if name in stack:
-                    # pop to the matching open tag (tolerates misnesting)
-                    while stack and stack[-1] != name:
-                        stack.pop()
-                    if stack:
-                        stack.pop()
-            else:
-                stack.append(name)
 
-    if pos < len(html):
-        tail = html[pos:]
-        j = tail.find("<")
-        if j < 0:
-            if not skip_depth:
-                add_text(tail)
-        else:
-            # unterminated trailing tag: text before it handled normally,
-            # the rest (sans '<') appended raw — matches the char-scanner
-            if not skip_depth:
-                add_text(tail[:j])
-                t = tail[j + 1 :]
-                cur.texts.append(t)
-                cur.chars += len(t)
-                if a_depth:
-                    cur.link_chars += len(t)
     flush()
     return items
 

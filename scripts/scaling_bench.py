@@ -45,6 +45,7 @@ from pyspark.sql import SparkSession, functions as F
 
 n_exec, cores_per, input_dir, pkg_zip = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+n_trials = int(sys.argv[5]) if len(sys.argv) > 5 else 6
 
 spark = (SparkSession.builder.appName(f"scaling_{{n_exec}}x{{cores_per}}")
     .master(f"local-cluster[{{n_exec}},{{cores_per}},4096]")
@@ -64,7 +65,7 @@ from openllm_ocr_annotator_spark.operators.extract import extract_pipeline
 docs = spark.read.parquet(input_dir)
 n_docs = docs.count()
 times = []
-for trial in range(6):  # first is warmup (JIT + executor/python spin-up)
+for trial in range(n_trials):  # first is warmup (JIT + executor/python spin-up)
     t0 = time.perf_counter()
     out = extract_pipeline(docs, num_partitions=None, with_lineage=True)
     out.agg(F.count(F.lit(1)).alias("n")).first()
@@ -79,12 +80,14 @@ print("RESULT " + json.dumps({{
 """
 
 
-def run_child(n_exec: int, cores_per: int, input_dir: str, pkg_zip: str) -> dict:
+def run_child(
+    n_exec: int, cores_per: int, input_dir: str, pkg_zip: str, n_trials: int = 6
+) -> dict:
     script = CHILD.format(repo=REPO)
     total = n_exec * cores_per
     cmd = [
         "taskset", "-c", f"0-{total - 1}", sys.executable, "-c", script,
-        str(n_exec), str(cores_per), input_dir, pkg_zip,
+        str(n_exec), str(cores_per), input_dir, pkg_zip, str(n_trials),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     for line in out.stdout.splitlines():
@@ -111,8 +114,8 @@ def main() -> None:
     input_dir = prepare_input(spark, sf_dir, replicate, work_dir)
     spark.stop()
 
-    lo = run_child(1, 4, input_dir, pkg_zip)
-    hi = run_child(4, 4, input_dir, pkg_zip)
+    lo = run_child(1, 4, input_dir, pkg_zip, n_trials=8)
+    hi = run_child(4, 4, input_dir, pkg_zip, n_trials=8)
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
 
     lo2 = run_child(2, 4, input_dir, pkg_zip)
