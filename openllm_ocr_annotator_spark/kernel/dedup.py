@@ -67,6 +67,43 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
         return np.unique(_splitmix64(acc))
 
 
+def shingle_hashes_batch(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Batch twin of ``shingle_hashes``: one token-hash pass over ALL docs.
+
+    Returns (concatenated per-doc distinct shingle hashes, per-doc counts).
+    The polynomial windows are computed over the flat token-hash array;
+    windows that would cross a document boundary are simply never selected
+    (each doc contributes positions start..start+len-n only). Per-doc
+    results are bit-identical to ``shingle_hashes``.
+    """
+    padded: list[list[str]] = []
+    for t in texts:
+        tk = t.lower().split()
+        if len(tk) < n:
+            tk = tk + [""] * (n - len(tk))
+        padded.append(tk)
+    lens = np.fromiter((len(p) for p in padded), dtype=np.int64, count=len(padded))
+    flat = [w for p in padded for w in p]
+    if not flat:
+        return np.empty(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    th = hash_tokens(flat)
+    with np.errstate(over="ignore"):
+        m = th.size - n + 1
+        acc = th[:m].copy()
+        for k in range(1, n):
+            acc = (acc * _POLY_P + th[k : m + k]) & MASK64
+        mixed = _splitmix64(acc)
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    uniq_parts: list[np.ndarray] = []
+    counts = np.empty(lens.size, dtype=np.int64)
+    for i in range(lens.size):
+        u = np.unique(mixed[starts[i] : starts[i] + lens[i] - n + 1])
+        uniq_parts.append(u)
+        counts[i] = u.size
+    return np.concatenate(uniq_parts), counts
+
+
 # --- MinHash -----------------------------------------------------------------
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -91,6 +128,26 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
         return prod.min(axis=1)
 
 
+def minhash_signatures_batch(
+    allsh: np.ndarray, counts: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) signatures for a whole batch in one matrix pass.
+
+    ``np.minimum.reduceat`` over the per-doc segments of the (num_perm,
+    total_shingles) product matrix — no per-document Python. Every doc has
+    ≥1 shingle by construction (``shingle_hashes`` pads short docs), so the
+    reduceat segments are never empty.
+    """
+    if counts.size == 0:
+        return np.empty((0, a.size), dtype=np.uint64)
+    starts = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    with np.errstate(over="ignore"):
+        prod = (a[:, None] * allsh[None, :] + b[:, None]) & MASK64
+        prod %= _MERSENNE
+    return np.minimum.reduceat(prod, starts, axis=1).T
+
+
 def band_hashes(signature: np.ndarray, num_bands: int) -> np.ndarray:
     """LSH banding: hash each contiguous band of the signature to one bucket key."""
     rows = signature.size // num_bands
@@ -99,6 +156,18 @@ def band_hashes(signature: np.ndarray, num_bands: int) -> np.ndarray:
         acc = np.zeros(num_bands, dtype=np.uint64)
         for r in range(rows):
             acc = (acc * _POLY_P + bands[:, r]) & MASK64
+        return _splitmix64(acc)
+
+
+def band_hashes_batch(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """(n_docs, num_bands) LSH bucket keys — batch twin of ``band_hashes``."""
+    n, num_perm = sigs.shape
+    rows = num_perm // num_bands
+    bands = sigs[:, : rows * num_bands].reshape(n, num_bands, rows)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, num_bands), dtype=np.uint64)
+        for r in range(rows):
+            acc = (acc * _POLY_P + bands[:, :, r]) & MASK64
         return _splitmix64(acc)
 
 

@@ -134,13 +134,11 @@ def minhash_signatures(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = [
-                K.minhash_signature(K.shingle_hashes(str(t), shingle_n), a, b)
-                .astype(np.int64)
-                .tolist()
-                for t in pdf[text_col]
-            ]
-            yield pd.DataFrame({"doc_id": pdf[id_col], "signature": sigs})
+            allsh, counts = K.shingle_hashes_batch(
+                [str(t) for t in pdf[text_col]], shingle_n
+            )
+            sigs = K.minhash_signatures_batch(allsh, counts, a, b).astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "signature": list(sigs)})
 
     return spread_partitions(docs.select(id_col, text_col), id_col).mapInPandas(
         kernel, schema=SIG_SCHEMA
@@ -161,14 +159,16 @@ def minhash_lsh_pairs(
 
     def band_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doc_ids, band_idx, band_hash = [], [], []
-            for did, sig in zip(pdf["doc_id"], pdf["signature"]):
-                bh = K.band_hashes(np.asarray(sig, dtype=np.int64).view(np.uint64), num_bands)
-                doc_ids.extend([did] * num_bands)
-                band_idx.extend(range(num_bands))
-                band_hash.extend(bh.astype(np.int64).tolist())
+            if not len(pdf):
+                continue
+            sig_mat = np.array(pdf["signature"].tolist(), dtype=np.int64).view(np.uint64)
+            bh = K.band_hashes_batch(sig_mat, num_bands)  # (n_docs, num_bands)
             yield pd.DataFrame(
-                {"doc_id": doc_ids, "band_idx": band_idx, "band_hash": band_hash}
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), num_bands),
+                    "band_idx": np.tile(np.arange(num_bands), len(pdf)),
+                    "band_hash": bh.reshape(-1).astype(np.int64),
+                }
             )
 
     bands = sigs.mapInPandas(band_kernel, schema="doc_id long, band_idx int, band_hash long")

@@ -101,3 +101,35 @@ def test_lsh_recall_on_testdata(spark):
     if exact:
         recall = len(exact & lsh) / len(exact)
         assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_batch_kernels_match_per_doc():
+    """Batch shingle/signature/band kernels are bit-identical to the
+    per-document oracles."""
+    import numpy as np
+
+    from openllm_ocr_annotator_spark.kernel import dedup as K
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",  # shorter than the shingle width → padded
+        "",         # empty → padded to a single shingle
+        "spark batch stream query join merge sort table data",
+        "the quick brown fox jumps over the lazy dog",  # duplicate of 0
+    ]
+    a, b = K.perm_params(64)
+    allsh, counts = K.shingle_hashes_batch(texts, 3)
+    sigs = K.minhash_signatures_batch(allsh, counts, a, b)
+    off = 0
+    for i, t in enumerate(texts):
+        want_sh = K.shingle_hashes(t, 3)
+        got_sh = allsh[off : off + counts[i]]
+        off += counts[i]
+        assert np.array_equal(got_sh, want_sh), f"doc {i} shingles differ"
+        want_sig = K.minhash_signature(want_sh, a, b)
+        assert np.array_equal(sigs[i], want_sig), f"doc {i} signature differs"
+    bands = K.band_hashes_batch(sigs, 16)
+    for i in range(len(texts)):
+        assert np.array_equal(bands[i], K.band_hashes(sigs[i], 16))
+    # duplicates produce identical signatures
+    assert np.array_equal(sigs[0], sigs[4])
