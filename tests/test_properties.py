@@ -1,0 +1,74 @@
+"""Property-based robustness tests (hypothesis) over the pure kernels.
+
+No SparkSession needed — these pin the kernel invariants the distributed
+operators rely on: total-order determinism, permutation invariance (any
+shuffle layout yields identical output), and no-crash on adversarial input.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openllm_ocr_annotator_spark.kernel.html import classify_blocks, tokenize_html
+from openllm_ocr_annotator_spark.kernel.merge import extract_document
+
+html_text = st.text(
+    alphabet=st.sampled_from(list("abc <>/&;\"'=!-\n\tpdivnavh1")), max_size=400
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(html_text)
+def test_tokenizer_never_crashes_and_is_well_formed(s):
+    items = tokenize_html(s)
+    for it in items:
+        assert it[0] in ("text", "media")
+        if it[0] == "text":
+            _, text, density, chrome = it
+            assert text == " ".join(text.split()) and text  # normalized, non-empty
+            assert 0.0 <= density
+            assert isinstance(chrome, bool)
+    kept = classify_blocks(items)
+    # classification only drops items, never reorders or invents
+    kept_payloads = [(k, p) for k, p, *_ in kept]
+    seq = [(it[0], it[1]) for it in items]
+    i = 0
+    for k, p in kept_payloads:
+        while i < len(seq) and seq[i] != (k, p):
+            i += 1
+        assert i < len(seq), "classified item not in tokenized order"
+        i += 1
+
+
+span_strategy = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["text", "html", "pdf", "image", "audio", "weird", ""]),
+        "text": st.text(max_size=120),
+        "media_ref": st.sampled_from(["", "s3://x/a.png", "s3://x/b.flac"]),
+        "offset": st.integers(min_value=-3, max_value=40),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(span_strategy, max_size=12), st.randoms())
+def test_extract_document_is_permutation_invariant(spans, rnd):
+    base = extract_document(spans)
+    shuffled = list(spans)
+    rnd.shuffle(shuffled)
+    assert extract_document(shuffled) == base
+    # output offsets are exactly the 0..n-1 sequence ranks
+    assert [s["offset"] for s in base] == list(range(len(base)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_json_brace_scan_never_crashes(s):
+    from openllm_ocr_annotator_spark.functions.json_extract import _scan_first_json
+
+    out = _scan_first_json(s)
+    if out is not None:
+        import json
+
+        json.loads(out)  # whatever it returns must be valid JSON
