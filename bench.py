@@ -126,6 +126,23 @@ def main() -> None:
             timings[name] = round(best, 3)
 
         total = round(sum(timings.values()), 3)
+        # attach the latest N-vs-4N scaling evidence (scripts/scaling_bench.py)
+        scaling = None
+        scaling_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
+        )
+        if os.path.exists(scaling_path):
+            with open(scaling_path) as f:
+                p = json.load(f).get("primary", {})
+            scaling = {
+                "low_docs_per_sec": round(p.get("low", {}).get("docs_per_sec", 0), 1),
+                "high_docs_per_sec": round(p.get("high", {}).get("docs_per_sec", 0), 1),
+                "low_cores": p.get("low", {}).get("total_cores"),
+                "high_cores": p.get("high", {}).get("total_cores"),
+                "efficiency": p.get("scaling_efficiency_1x4_to_4x4"),
+                "target": p.get("target"),
+                "pass": p.get("pass"),
+            }
         print(
             json.dumps(
                 {
@@ -138,6 +155,7 @@ def main() -> None:
                     "extract_spans": n_spans,
                     "extract_docs_per_sec": docs_per_sec,
                     "extract_narrow_docs_per_sec": round(n_docs / min(ndt, ndt2), 1),
+                    "scaling": scaling,
                     "cpus": cpus,
                 }
             )

@@ -107,3 +107,26 @@ def test_broadcast_threshold_effective(spark):
     big = spark.range(100000).withColumnRenamed("id", "k")
     plan = _plan(big.join(F.broadcast(small), "k"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_dedup_no_driver_broadcast_of_grams(spark):
+    """The df-cap must be a window over the gram key, not a broadcast of the
+    rare-gram set (most of the vocabulary — would melt the driver at scale);
+    join keys must be hashed int64, not multi-word strings."""
+    from openllm_ocr_annotator_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(docs, threshold=0.8, max_df=50))
+    assert "xxhash64" in plan
+    assert "Window" in plan
+    # At sf0.001 the planner may broadcast by SIZE — that is its call. What
+    # must never happen is a hard-coded broadcast hint: with the threshold
+    # off (how a 100 TB gram table plans), everything must go sort-merge.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big_plan = _plan(ngram_jaccard_pairs(docs, threshold=0.8, max_df=50))
+        assert "BroadcastExchange" not in big_plan
+        assert "SortMergeJoin" in big_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
