@@ -1030,6 +1030,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media)
 
 
+@_q("streaming_increment")
+def q_streaming_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: Structured Streaming incremental extraction — readStream over
+    the docs location, per-micro-batch anti-join vs the committed snapshot,
+    extract, snapshot commit (availableNow; shares the batch resume path).
+    Returns the committed span table (rows-only: deterministic content,
+    streaming sink layout is engine-specific)."""
+    import shutil
+    import tempfile
+
+    from .sources.tables import SnapshotTable
+    from .streaming.incremental import start_incremental_extraction
+
+    work = tempfile.mkdtemp(prefix="stream_inc_")
+    try:
+        docs_path = f"{work}/docs"
+        synth.synthesize_documents(spark, sf_dir).write.parquet(docs_path)
+        q = start_incremental_extraction(
+            spark, docs_path, f"{work}/table", f"{work}/ckpt", num_partitions=8
+        )
+        q.awaitTermination()
+        out = SnapshotTable(spark, f"{work}/table").read_committed()
+        # materialize before the tmp dir vanishes
+        rows = out.select("doc_id", "kind", "text", "media_ref", "offset")
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @_q("media_frame_sample")
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: video frame-sampling plan (every-Nth-frame explode)."""
