@@ -885,17 +885,21 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "text_quality",
-    """
-    WITH q AS (
-      SELECT doc_id,
+_QUALITY_SQL = """
         (CASE WHEN len(list_filter(string_split(lower(text),' '), x -> x <> '')) BETWEEN 16 AND 512 THEN 0.25 ELSE 0.0 END)
       + (CASE WHEN (list_sum(list_transform(list_filter(string_split(lower(text),' '), x -> x <> ''), x -> length(x))) * 1.0
                     / len(list_filter(string_split(lower(text),' '), x -> x <> ''))) BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END)
       + (CASE WHEN (len(list_filter(string_split(lower(text),' '), x -> x IN ('the','a','of','and','to','in'))) * 1.0
                     / len(list_filter(string_split(lower(text),' '), x -> x <> ''))) >= 0.01 THEN 0.25 ELSE 0.0 END)
-      + (CASE WHEN len(regexp_extract_all(lower(text), '[a-z]')) > 0 THEN 0.25 ELSE 0.0 END) AS quality
+      + (CASE WHEN len(regexp_extract_all(lower(text), '[a-z]')) > 0 THEN 0.25 ELSE 0.0 END)
+"""
+
+
+@_q(
+    "text_quality",
+    f"""
+    WITH q AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality
       FROM documents WHERE n_chars > 0
     )
     SELECT CAST(quality AS DOUBLE) AS quality, count(*) AS n_docs FROM q GROUP BY 1
@@ -957,6 +961,67 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", vocab_fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_q(
+    "corpus_curation",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             {_LANG_HITS_SQL["en"]} AS h_en,
+             {_LANG_HITS_SQL["code"]} AS h_code,
+             {_LANG_HITS_SQL["data"]} AS h_data,
+             {_QUALITY_SQL} AS quality
+      FROM documents WHERE n_chars > 0
+    ),
+    labeled AS (
+      SELECT *, CASE WHEN greatest(h_en, h_code, h_data) = 0 THEN 'unknown'
+                     WHEN h_code = greatest(h_en, h_code, h_data) THEN 'code'
+                     WHEN h_data = greatest(h_en, h_code, h_data) THEN 'data'
+                     ELSE 'en' END AS lang_hat
+      FROM scored
+    ),
+    kept AS (
+      SELECT doc_id, source, text FROM labeled
+      WHERE lang_hat IN ('en', 'data') AND quality >= 0.75
+    ),
+    deduped AS (
+      SELECT md5(text) AS digest, min(doc_id) AS doc_id, min(source) AS source,
+             min(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens
+      FROM kept GROUP BY md5(text)
+    )
+    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM deduped GROUP BY source
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation pipeline (C4/Gopher-style):
+    language-ID filter → quality filter → exact dedup (keep min doc_id) →
+    per-source token accounting. One declarative plan: Catalyst fuses the
+    filters into the scan; the only shuffles are the dedup groupBy and the
+    final per-source agg."""
+    from .functions.text import lang_id, quality_score, token_count_ws
+
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    kept = docs.filter(
+        lang_id(F.col("text")).isin("en", "data")
+        & (quality_score(F.col("text")) >= 0.75)
+    )
+    deduped = (
+        kept.select(
+            "doc_id", "source", F.md5("text").alias("digest"),
+            token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("source").alias("source"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
     )
 
 
