@@ -264,6 +264,115 @@ def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return majority_vote(votes)
 
 
+@_q(
+    "annotation_pipeline",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS doc_id, o_orderstatus AS status,
+             CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS amount
+      FROM orders
+    ),
+    legs AS (
+      SELECT doc_id, 'ann_A' AS annotator_id, 1.0 AS w, status AS status_v,
+             amount, 0.9 AS c_status, 0.6 AS c_amount,
+             CAST(doc_id % 3 AS INT) AS mode FROM base
+      UNION ALL
+      SELECT doc_id, 'ann_B', 2.0,
+             CASE WHEN doc_id % 3 = 0 THEN 'X' ELSE status END,
+             amount, 0.8, 0.5, CAST((doc_id + 1) % 3 AS INT) FROM base
+    ),
+    -- mode 2 = unparseable raw text → the leg contributes nothing (U2 chain
+    -- returns NULL); the falsy 'empty_f' field never votes (P4)
+    fields AS (
+      SELECT doc_id, annotator_id, w, 'status' AS field_name,
+             status_v AS value, c_status AS confidence
+      FROM legs WHERE mode <> 2
+      UNION ALL
+      SELECT doc_id, annotator_id, w, 'amount', amount, c_amount
+      FROM legs WHERE mode <> 2
+    ),
+    scored AS (
+      SELECT doc_id, field_name, value, SUM(w * confidence) AS score
+      FROM fields GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, SUM(score) OVER (PARTITION BY doc_id, field_name) AS total,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, field_name
+                                ORDER BY score DESC, value ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, field_name, value,
+           CASE WHEN total > 0 THEN round(score / total, 6) ELSE 0.0 END AS confidence
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_annotation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 lifecycle end-to-end (reference: pipeline/run_annotation.py:157-208):
+    raw LLM-style text (fenced/plain/garbage) → JSON extraction chain (U2) →
+    typed parse (U4) → fields explode (UDTF shape) → falsy filter (P4) →
+    weighted vote (A1). The Spark side REALLY parses the JSON it builds;
+    the oracle derives the same votes symbolically — a parser bug shows up
+    as a value mismatch."""
+    from .functions.json_extract import parse_result
+    from .operators.vote import explode_annotation_fields, weighted_vote
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(32, "o_orderkey")
+    k = F.col("o_orderkey")
+    amount = F.floor("o_totalprice").cast("bigint").cast("string")
+
+    def leg(name: str, status_col, c_status: str, c_amount: str, mode_col):
+        falsy = F.when(
+            k % 4 == 0,
+            F.lit(', {"field_name": "empty_f", "value": "", "confidence": 0.5}'),
+        ).otherwise(F.lit(""))
+        payload = F.concat(
+            F.lit('{"result": {"fields": ['),
+            F.lit('{"field_name": "status", "value": "'), status_col,
+            F.lit(f'", "confidence": {c_status}}}, '),
+            F.lit('{"field_name": "amount", "value": "'), amount,
+            F.lit(f'", "confidence": {c_amount}}}'),
+            falsy,
+            F.lit("]}}"),
+        )
+        raw = (
+            F.when(mode_col == 0, F.concat(F.lit("<think>…</think>\n```json\n"), payload, F.lit("\n```")))
+            .when(mode_col == 1, payload)
+            .otherwise(F.lit("the model refused to answer in json"))
+        )
+        return o.select(
+            k.alias("doc_id"),
+            F.lit(name).alias("annotator_id"),
+            F.lit(0).alias("sample_id"),
+            raw.alias("raw_text"),
+        )
+
+    legs = leg("ann_A", F.col("o_orderstatus"), "0.9", "0.6", k % 3).unionByName(
+        leg(
+            "ann_B",
+            F.when(k % 3 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+            "0.8",
+            "0.5",
+            (k + 1) % 3,
+        )
+    )
+    schema = (
+        "struct<result struct<fields array<struct<"
+        "field_name string, value string, confidence double>>>>"
+    )
+    nested = legs.select(
+        "doc_id",
+        "annotator_id",
+        "sample_id",
+        parse_result(F.col("raw_text"), schema)["result"].alias("result"),
+    ).filter(F.col("result").isNotNull())
+    exploded = explode_annotation_fields(nested)
+    weights = spark.createDataFrame(
+        [("ann_A", 1.0), ("ann_B", 2.0)], "annotator_id string, weight double"
+    )
+    out = weighted_vote(exploded, weights)
+    return out.withColumn("confidence", F.round("confidence", 6))
+
+
 # ---------------------------------------------------------------------------
 # Evaluation (J2, F1-F6, A3-A7) over gt/pred derived from orders.
 # ---------------------------------------------------------------------------
