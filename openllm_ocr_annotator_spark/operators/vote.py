@@ -129,6 +129,35 @@ def majority_vote(votes: DataFrame, key_cols: list[str] | None = None) -> DataFr
     )
 
 
+def highest_confidence_vote(annotations: DataFrame) -> DataFrame:
+    """The reference's DECLARED-but-unimplemented third voter
+    (config accepts 'highest_confidence', run raises NotImplementedError —
+    reference: config/config_manager.py:24-26, pipeline/run_annotation.py:88-89,
+    constraint noted docs/architecture.md:253). Completed here with the
+    obvious semantics the name promises:
+
+    per (doc, field_name): winner = the single annotation row with the
+    highest confidence (default 1.0 when absent); ties break
+    (confidence DESC, value ASC, annotator_id ASC) — deterministic under
+    any parallelism. Output confidence = the winner's own confidence.
+
+    Plan: one shuffle (window partition), WindowGroupLimit prunes losers.
+    """
+    voting = falsy_field_filter(annotations).withColumn(
+        "_conf", F.coalesce(F.col("confidence").cast("double"), F.lit(1.0))
+    )
+    rank_w = Window.partitionBy("doc_id", "field_name").orderBy(
+        F.col("_conf").desc(), F.col("value").asc(), F.col("annotator_id").asc()
+    )
+    return (
+        voting.withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id", "field_name", "value", F.col("_conf").alias("confidence")
+        )
+    )
+
+
 def explode_annotation_fields(nested: DataFrame) -> DataFrame:
     """UDTF-shaped helper (SURVEY §2.11): nested result.fields → one row per
     field, preserving (doc_id, annotator_id, sample_id)."""

@@ -373,6 +373,32 @@ def q_annotation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("confidence", F.round("confidence", 6))
 
 
+@_q(
+    "highest_confidence_vote",
+    f"""
+    WITH ann AS ({_ANN_SQL}),
+    ranked AS (
+      SELECT doc_id, field_name, value, confidence,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, field_name
+                                ORDER BY confidence DESC, value ASC,
+                                         annotator_id ASC) AS rn
+      FROM ann
+      WHERE field_name IS NOT NULL AND field_name <> ''
+        AND value IS NOT NULL AND value <> ''
+    )
+    SELECT doc_id, field_name, value, confidence
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_highest_confidence_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's declared-but-unimplemented 'highest_confidence' voter
+    (config_manager.py:24-26 accepts it; run_annotation.py:88-89 raises) —
+    completed: top-1 per (doc, field) by confidence, pinned tie-break."""
+    from .operators.vote import highest_confidence_vote
+
+    return highest_confidence_vote(_derived_annotations(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Evaluation (J2, F1-F6, A3-A7) over gt/pred derived from orders.
 # ---------------------------------------------------------------------------

@@ -194,3 +194,35 @@ def test_empty_result_rejected_like_p3(spark):
     )
     exploded = explode_annotation_fields(nested)
     assert falsy_field_filter(exploded).count() == 0
+
+
+def test_highest_confidence_vote_semantics(spark):
+    from openllm_ocr_annotator_spark.operators.vote import highest_confidence_vote
+
+    rows = [
+        # plain winner by confidence
+        ("d1", "a/m", "total", "100", 0.6),
+        ("d1", "b/m", "total", "200", 0.9),
+        # tie on confidence → value ASC wins
+        ("d2", "a/m", "total", "300", 0.7),
+        ("d2", "b/m", "total", "250", 0.7),
+        # falsy value never wins, even at confidence 1.0
+        ("d3", "a/m", "total", "", 1.0),
+        ("d3", "b/m", "total", "50", 0.1),
+        # null confidence defaults to 1.0 (reference weighted.py:102 contract)
+        ("d4", "a/m", "total", "77", None),
+        ("d4", "b/m", "total", "88", 0.95),
+    ]
+    ann = spark.createDataFrame(
+        rows,
+        "doc_id string, annotator_id string, field_name string, "
+        "value string, confidence double",
+    )
+    got = {
+        (r.doc_id, r.field_name): (r.value, r.confidence)
+        for r in highest_confidence_vote(ann).collect()
+    }
+    assert got[("d1", "total")] == ("200", 0.9)
+    assert got[("d2", "total")] == ("250", 0.7)
+    assert got[("d3", "total")] == ("50", 0.1)
+    assert got[("d4", "total")] == ("77", 1.0)
