@@ -431,20 +431,32 @@ _PRED_SQL = """
 """
 
 
+def _explode_fields(o: DataFrame, triples: list[tuple[str, object]]) -> DataFrame:
+    """One scan → (doc_id, field_name, value) rows via explode-of-structs —
+    the UNION ALL of N per-field scans collapsed into a single pass (the
+    oracle SQL keeps the UNION ALL form; row sets are identical)."""
+    entries = [
+        F.struct(F.lit(name).alias("field_name"), value.alias("value"))
+        for name, value in triples
+    ]
+    return o.select(
+        F.col("o_orderkey").alias("doc_id"), F.explode(F.array(*entries)).alias("_f")
+    ).select("doc_id", "_f.field_name", "_f.value")
+
+
 def _derived_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex-heavy matcher evaluation downstream: spread the single-file scan
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(32, "o_orderkey")
     amount = F.concat(
         F.floor("o_totalprice").cast("bigint").cast("string"), F.lit(".00 USD")
     )
-    return (
-        o.select(F.col("o_orderkey").alias("doc_id"), F.lit("status").alias("field_name"),
-                 F.col("o_orderstatus").alias("value"))
-        .unionAll(
-            o.select(F.col("o_orderkey"), F.lit("contract_date"),
-                     F.date_format("o_orderdate", "yyyy-MM-dd"))
-        )
-        .unionAll(o.select(F.col("o_orderkey"), F.lit("transaction_amount"), amount))
+    return _explode_fields(
+        o,
+        [
+            ("status", F.col("o_orderstatus")),
+            ("contract_date", F.date_format("o_orderdate", "yyyy-MM-dd")),
+            ("transaction_amount", amount),
+        ],
     )
 
 
@@ -463,11 +475,13 @@ def _derived_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") % 7 == 0,
         F.concat(F.lit("USD "), (base_amt + 1).cast("string")),
     ).otherwise(F.concat(F.lit("USD "), base_amt.cast("string")))
-    return (
-        o.select(F.col("o_orderkey").alias("doc_id"), F.lit("status").alias("field_name"),
-                 status.alias("value"))
-        .unionAll(o.select(F.col("o_orderkey"), F.lit("contract_date"), cdate))
-        .unionAll(o.select(F.col("o_orderkey"), F.lit("transaction_amount"), amount))
+    return _explode_fields(
+        o,
+        [
+            ("status", status),
+            ("contract_date", cdate),
+            ("transaction_amount", amount),
+        ],
     )
 
 
