@@ -114,6 +114,103 @@ def extract_spans(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "spans").mapInArrow(kernel, schema=EXTRACTED_SCHEMA)
 
 
+def extract_spans_wide(docs: DataFrame) -> DataFrame:
+    """Span-level parallel variant: removes the one-doc-per-task floor.
+
+    ``extract_spans`` processes a document's spans serially inside one task
+    — fine until a single mega-doc dominates a partition's wall-clock. This
+    variant explodes spans to rows first, runs the SAME per-span kernel on
+    whatever partition each span lands on, then rebuilds the exact sequence
+    with one window:
+
+        posexplode(spans) → mapInArrow(extract_span per row)
+        → row_number over (doc_id ORDER BY offset, kind, media_ref, text,
+                           pos, item_idx) − 1
+
+    The sort key replays the sequential kernel's pinned total order:
+    ``(offset, kind, media_ref, text)`` with the original array position
+    (``pos``) as the stable tie-break (Python ``sorted`` stability) and
+    ``item_idx`` preserving within-span expansion order — output is
+    row-for-row identical to ``extract_spans`` (pinned by
+    tests/test_extract_e2e.py).
+
+    Cost: one shuffle of the expanded items (≈ output size). Use it when
+    the heavy tail is extreme (single docs that would straggle a stage);
+    the narrow path stays the default.
+    """
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            poss = batch.column(1).to_pylist()
+            kinds = batch.column(2).to_pylist()
+            texts = batch.column(3).to_pylist()
+            refs = batch.column(4).to_pylist()
+            offs = batch.column(5).to_pylist()
+            out: dict[str, list] = {
+                "doc_id": [], "in_offset": [], "in_kind": [], "in_ref": [],
+                "in_text": [], "pos": [], "item_idx": [],
+                "kind": [], "text": [], "media_ref": [],
+            }
+            for i, did in enumerate(doc_ids):
+                for idx, (kind, text, ref) in enumerate(
+                    extract_span(kinds[i] or "", texts[i] or "", refs[i] or "")
+                ):
+                    out["doc_id"].append(did)
+                    out["in_offset"].append(offs[i] or 0)
+                    out["in_kind"].append(kinds[i] or "")
+                    out["in_ref"].append(refs[i] or "")
+                    out["in_text"].append(texts[i] or "")
+                    out["pos"].append(poss[i])
+                    out["item_idx"].append(idx)
+                    out["kind"].append(kind)
+                    out["text"].append(text)
+                    out["media_ref"].append(ref)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["doc_id"], pa.string()),
+                    pa.array(out["in_offset"], pa.int32()),
+                    pa.array(out["in_kind"], pa.string()),
+                    pa.array(out["in_ref"], pa.string()),
+                    pa.array(out["in_text"], pa.string()),
+                    pa.array(out["pos"], pa.int32()),
+                    pa.array(out["item_idx"], pa.int32()),
+                    pa.array(out["kind"], pa.string()),
+                    pa.array(out["text"], pa.string()),
+                    pa.array(out["media_ref"], pa.string()),
+                ],
+                names=list(out.keys()),
+            )
+
+    from pyspark.sql import Window
+
+    exploded = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    items = exploded.mapInArrow(
+        kernel,
+        schema=(
+            "doc_id string, in_offset int, in_kind string, in_ref string, "
+            "in_text string, pos int, item_idx int, "
+            "kind string, text string, media_ref string"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        "in_offset", "in_kind", "in_ref", "in_text", "pos", "item_idx"
+    )
+    return items.select(
+        "doc_id", "kind", "text", "media_ref",
+        (F.row_number().over(w) - 1).cast("int").alias("offset"),
+    )
+
+
 def extract_pipeline(
     docs: DataFrame,
     num_partitions: int | None = None,

@@ -51,6 +51,15 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.extract_spans(docs)
 
 
+@_q("extract_spans_wide")
+def q_extract_spans_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level parallel extraction (mega-doc straggler fallback):
+    posexplode → per-span kernel → window renumber; row-for-row identical
+    to extract_spans (pinned by tests/test_extract_e2e.py). Rows-only."""
+    docs = synth.synthesize_documents(spark, sf_dir)
+    return extract.extract_spans_wide(docs)
+
+
 @_q("extract_lineage")
 def q_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§4.2 lineage: per-partition (doc_count, span_count, checksum) rows."""

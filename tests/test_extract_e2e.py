@@ -137,3 +137,34 @@ def test_salted_repartition_spreads_megadocs(spark):
     assert max(counts) < 3 * (sum(counts) / len(counts))
     # mega-docs do not pile onto a single partition
     assert sum(megas) >= 2 and max(megas) < sum(megas)
+
+
+def test_extract_spans_wide_matches_narrow(spark):
+    """Span-level parallel variant is row-for-row identical to the
+    sequential kernel — including duplicate-span docs where only the
+    original array position breaks the tie."""
+    from openllm_ocr_annotator_spark.operators.extract import (
+        extract_spans,
+        extract_spans_wide,
+    )
+    from openllm_ocr_annotator_spark.synth import synthesize_documents
+
+    docs = synthesize_documents(spark, "/root/testdata/sf0.001")
+    # adversarial doc: two IDENTICAL spans (same offset/kind/text) — the
+    # wide path must replay the sequential kernel's stable-sort order
+    dup = spark.createDataFrame(
+        [(
+            "doc_dup",
+            [
+                {"kind": "text", "text": "alpha beta", "media_ref": "", "offset": 5},
+                {"kind": "text", "text": "alpha beta", "media_ref": "", "offset": 5},
+                {"kind": "image", "text": "", "media_ref": "s3://x/i.png", "offset": 5},
+            ],
+        )],
+        docs.schema,
+    )
+    both = docs.unionByName(dup)
+    narrow = sorted(map(tuple, extract_spans(both).collect()))
+    wide = sorted(map(tuple, extract_spans_wide(both).collect()))
+    assert narrow == wide
+    assert len(narrow) > 0
