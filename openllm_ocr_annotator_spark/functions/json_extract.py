@@ -72,10 +72,16 @@ def extract_json_str(col: Column) -> Column:
     """
     fenced = remove_comments(F.regexp_extract(col, FENCE_RE, 1))
     whole = remove_comments(col)
-    scanned = first_decodable_json(remove_comments(col))
     valid = lambda c: F.when(  # noqa: E731
         (c != "") & F.get_json_object(c, "$").isNotNull(), c
     )
+    # the pandas-UDF node evaluates for every row no matter where it sits in
+    # the coalesce — so feed it NULL on rows steps 1-2 already satisfied;
+    # the Python scan then costs O(1) except on genuine fallback rows
+    fallback_input = F.when(
+        valid(fenced).isNull() & valid(whole).isNull(), whole
+    )
+    scanned = first_decodable_json(fallback_input)
     return F.coalesce(valid(fenced), valid(whole), valid(scanned))
 
 
