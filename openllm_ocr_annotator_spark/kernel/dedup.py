@@ -202,5 +202,37 @@ def simhash64(text: str) -> np.uint64:
     return out
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """(n_docs,) uint64 SimHashes — batch twin of ``simhash64``.
+
+    One token-hash pass over all docs, bit contributions summed per doc via
+    ``np.add.reduceat``; bit-identical to the per-doc function (empty docs
+    hash to 0, matching the reference of ``simhash64``).
+    """
+    toks = [t.lower().split() for t in texts]
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    out = np.zeros(len(toks), dtype=np.uint64)
+    nonzero = np.flatnonzero(lens)
+    if nonzero.size == 0:
+        return out
+    flat = [w for tk in toks for w in tk]
+    th = hash_tokens(flat)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    contrib = 2 * bits - 1  # (total_tokens, 64)
+    # reduceat only over non-empty docs (empty segments misbehave)
+    nz_lens = lens[nonzero]
+    starts = np.zeros(nz_lens.size, dtype=np.int64)
+    np.cumsum(nz_lens[:-1], out=starts[1:])
+    sums = np.add.reduceat(contrib, starts, axis=0)  # (n_nonzero, 64)
+    mask = (sums > 0).astype(np.uint64)
+    packed = (mask << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonzero] = packed
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(int(a) ^ int(b)).count("1")

@@ -244,23 +244,30 @@ def classify_blocks(items: list[tuple]) -> list[tuple]:
     for t, k in enumerate(text_idx):
         kept_by_item[k] = keep_text[t]
 
+    # one pass each way: nearest kept-text flag on either side of every item
+    # (media-dense runs would make a per-media backward scan O(n²))
+    n_items = len(items)
+    prev_keep = [False] * n_items
+    running = False
+    for k in range(n_items):
+        prev_keep[k] = running
+        if items[k][0] == "text":
+            running = kept_by_item[k]
+    next_keep = [False] * n_items
+    running = False
+    for k in range(n_items - 1, -1, -1):
+        next_keep[k] = running
+        if items[k][0] == "text":
+            running = kept_by_item[k]
+
     out: list[tuple] = []
     for k, it in enumerate(items):
         if it[0] == "text":
             if kept_by_item[k]:
                 out.append(("text", it[1]))
-        else:  # media: keep iff nearest surrounding text block is content
-            prev_keep = next_keep = False
-            for p in range(k - 1, -1, -1):
-                if items[p][0] == "text":
-                    prev_keep = kept_by_item[p]
-                    break
-            for q in range(k + 1, len(items)):
-                if items[q][0] == "text":
-                    next_keep = kept_by_item[q]
-                    break
-            if prev_keep or next_keep:
-                out.append(("media", it[1]))
+        elif prev_keep[k] or next_keep[k]:
+            # media: keep iff nearest surrounding text block is content
+            out.append(("media", it[1]))
     return out
 
 

@@ -224,12 +224,12 @@ def simhash_pairs(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = [int(K.simhash64(str(t))) for t in pdf[text_col]]
+            hashes = K.simhash64_batch([str(t) for t in pdf[text_col]])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     # store as signed int64 (two's complement view)
-                    "simhash": np.array(hashes, dtype=np.uint64).astype(np.int64),
+                    "simhash": hashes.view(np.int64),
                 }
             )
 

@@ -395,7 +395,7 @@ def q_annotation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE field_name IS NOT NULL AND field_name <> ''
         AND value IS NOT NULL AND value <> ''
     )
-    SELECT doc_id, field_name, value, confidence
+    SELECT doc_id, field_name, value, CAST(confidence AS DOUBLE) AS confidence
     FROM ranked WHERE rn = 1
     """,
 )

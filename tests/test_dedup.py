@@ -133,3 +133,22 @@ def test_batch_kernels_match_per_doc():
         assert np.array_equal(bands[i], K.band_hashes(sigs[i], 16))
     # duplicates produce identical signatures
     assert np.array_equal(sigs[0], sigs[4])
+
+
+def test_simhash_batch_matches_per_doc():
+    import numpy as np
+
+    from openllm_ocr_annotator_spark.kernel import dedup as K
+
+    texts = [
+        "the quick brown fox",
+        "",
+        "   ",
+        "spark join merge sort query table stream batch",
+        "the quick brown fox",
+    ]
+    got = K.simhash64_batch(texts)
+    want = np.array([K.simhash64(t) for t in texts], dtype=np.uint64)
+    assert np.array_equal(got, want)
+    assert got[1] == 0 and got[2] == 0
+    assert got[0] == got[4]
