@@ -213,11 +213,14 @@ def minhash_lsh_pairs(
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole chunk banding.
 
     With (max_hamming+1) chunks, any pair within the distance budget shares
     at least one identical chunk — join on chunks, verify exact hamming.
+    ``max_bucket_size`` caps pathological chunk buckets (mega-boilerplate
+    clusters → bucket² join rows), same documented drop as the MinHash path.
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
@@ -254,6 +257,15 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+
+    bucket_sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    chunks = chunks.join(
+        bucket_sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+        ["chunk_idx", "chunk_val"],
+        "left_semi",
+    )
 
     a = chunks.alias("a")
     b = chunks.alias("b")
