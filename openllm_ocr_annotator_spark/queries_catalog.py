@@ -1295,6 +1295,23 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(extract_media_features(media), every_n=30)
 
 
+@_q("media_resize_plan")
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: U7 resize-guard geometry (reference annotators/base.py:
+    77-163 iterative halving as closed-form columnar math; rows-only)."""
+    from .operators.extract import extract_spans
+    from .operators.media import extract_media_features, resize_plan
+
+    docs = synth.synthesize_documents(spark, sf_dir)
+    media = extract_spans(docs).filter(F.col("media_ref") != "").select(
+        "doc_id", "media_ref", "kind"
+    )
+    return resize_plan(extract_media_features(media)).select(
+        "doc_id", "media_ref", "width", "height",
+        "halvings", "target_width", "target_height", "needs_resize",
+    )
+
+
 # ---------------------------------------------------------------------------
 # JSON extraction chain (U2/U3/U5) over derived raw LLM-style outputs.
 # ---------------------------------------------------------------------------

@@ -75,3 +75,40 @@ def test_streaming_incremental_extraction(spark, tmp_path):
     # idempotence at the dataflow level: a second (batch) increment over the
     # same inputs commits nothing new
     assert process_increment(docs, table) == 0
+
+
+def test_resize_plan_guard_arithmetic(spark):
+    """The resize guard replays the reference's iterative-halving loop
+    (annotators/base.py:77-163) as closed-form columnar math."""
+    import math
+
+    from openllm_ocr_annotator_spark.operators.media import (
+        MAX_BYTES,
+        MAX_PIXELS,
+        resize_plan,
+    )
+
+    rows = [
+        ("d1", "s3://x/small.png", "image", 640, 480, 1, []),
+        ("d2", "s3://x/big.png", "image", 30000, 20000, 1, []),       # 600 MP
+        ("d3", "s3://x/huge.png", "image", 100000, 100000, 1, []),    # 10 GP
+    ]
+    feats = spark.createDataFrame(
+        rows,
+        "doc_id string, media_ref string, kind string, width int, "
+        "height int, n_frames int, feature array<float>",
+    )
+    got = {r.doc_id: r for r in resize_plan(feats).collect()}
+    assert not got["d1"].needs_resize
+    assert (got["d1"].target_width, got["d1"].target_height) == (640, 480)
+
+    cap = min(MAX_PIXELS, MAX_BYTES / 3.0)
+    for d in ("d2", "d3"):
+        r = got[d]
+        assert r.needs_resize
+        assert r.target_width * r.target_height <= cap
+        # reference loop halves repeatedly: our halvings must be the MINIMAL h
+        w, h = (30000, 20000) if d == "d2" else (100000, 100000)
+        min_h = math.ceil(math.log(w * h / cap, 4))
+        assert r.halvings == min_h
+        assert r.target_width == int(w / 2**min_h)
