@@ -168,3 +168,30 @@ def test_extract_spans_wide_matches_narrow(spark):
     wide = sorted(map(tuple, extract_spans_wide(both).collect()))
     assert narrow == wide
     assert len(narrow) > 0
+
+
+def test_extract_null_robustness(spark):
+    """NULL spans arrays, NULL struct fields: no crash, narrow ≡ wide,
+    null text-like fields normalize away."""
+    from openllm_ocr_annotator_spark.operators.extract import (
+        extract_spans,
+        extract_spans_wide,
+    )
+    from openllm_ocr_annotator_spark.synth import DOCUMENTS_SCHEMA
+
+    rows = [
+        ("doc_null_spans", None),
+        ("doc_empty", []),
+        (
+            "doc_null_fields",
+            [
+                {"kind": None, "text": None, "media_ref": None, "offset": None},
+                {"kind": "text", "text": "real content here", "media_ref": None, "offset": 7},
+            ],
+        ),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    narrow = sorted(map(tuple, extract_spans(docs).collect()))
+    wide = sorted(map(tuple, extract_spans_wide(docs).collect()))
+    assert narrow == wide
+    assert narrow == [("doc_null_fields", "text", "real content here", "", 0)]
