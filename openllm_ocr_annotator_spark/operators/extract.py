@@ -142,14 +142,12 @@ def extract_spans_wide(docs: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             doc_ids = batch.column(0).to_pylist()
-            poss = batch.column(1).to_pylist()
+            ranks = batch.column(1).to_pylist()
             kinds = batch.column(2).to_pylist()
             texts = batch.column(3).to_pylist()
             refs = batch.column(4).to_pylist()
-            offs = batch.column(5).to_pylist()
             out: dict[str, list] = {
-                "doc_id": [], "in_offset": [], "in_kind": [], "in_ref": [],
-                "in_text": [], "pos": [], "item_idx": [],
+                "doc_id": [], "span_rank": [], "item_idx": [],
                 "kind": [], "text": [], "media_ref": [],
             }
             for i, did in enumerate(doc_ids):
@@ -157,11 +155,7 @@ def extract_spans_wide(docs: DataFrame) -> DataFrame:
                     extract_span(kinds[i] or "", texts[i] or "", refs[i] or "")
                 ):
                     out["doc_id"].append(did)
-                    out["in_offset"].append(offs[i] or 0)
-                    out["in_kind"].append(kinds[i] or "")
-                    out["in_ref"].append(refs[i] or "")
-                    out["in_text"].append(texts[i] or "")
-                    out["pos"].append(poss[i])
+                    out["span_rank"].append(ranks[i])
                     out["item_idx"].append(idx)
                     out["kind"].append(kind)
                     out["text"].append(text)
@@ -169,11 +163,7 @@ def extract_spans_wide(docs: DataFrame) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out["doc_id"], pa.string()),
-                    pa.array(out["in_offset"], pa.int32()),
-                    pa.array(out["in_kind"], pa.string()),
-                    pa.array(out["in_ref"], pa.string()),
-                    pa.array(out["in_text"], pa.string()),
-                    pa.array(out["pos"], pa.int32()),
+                    pa.array(out["span_rank"], pa.int32()),
                     pa.array(out["item_idx"], pa.int32()),
                     pa.array(out["kind"], pa.string()),
                     pa.array(out["text"], pa.string()),
@@ -194,17 +184,31 @@ def extract_spans_wide(docs: DataFrame) -> DataFrame:
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
     )
-    items = exploded.mapInArrow(
+    # Rank INPUT spans first (few, pre-expansion): the expensive string-keyed
+    # sort runs over input spans only; the post-kernel window then orders by
+    # two ints — the expanded item stream (which can be 100× larger and
+    # carries the extracted text payloads) never sorts by strings.
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        "offset", "kind", "media_ref", "text", "pos"
+    )
+    ranked = exploded.select(
+        "doc_id",
+        F.row_number().over(rank_w).cast("int").alias("span_rank"),
+        "kind", "text", "media_ref",
+    )
+    # the rank window co-located each doc on one partition — round-robin the
+    # ranked spans back out so the giga-doc's spans actually spread across
+    # cores (the whole point of the wide path)
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranked = ranked.repartition(n_part)
+    items = ranked.mapInArrow(
         kernel,
         schema=(
-            "doc_id string, in_offset int, in_kind string, in_ref string, "
-            "in_text string, pos int, item_idx int, "
+            "doc_id string, span_rank int, item_idx int, "
             "kind string, text string, media_ref string"
         ),
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        "in_offset", "in_kind", "in_ref", "in_text", "pos", "item_idx"
-    )
+    w = Window.partitionBy("doc_id").orderBy("span_rank", "item_idx")
     return items.select(
         "doc_id", "kind", "text", "media_ref",
         (F.row_number().over(w) - 1).cast("int").alias("offset"),
