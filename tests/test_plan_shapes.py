@@ -130,3 +130,24 @@ def test_ngram_dedup_no_driver_broadcast_of_grams(spark):
         assert "SortMergeJoin" in big_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_split_parquet_partition_pruning(spark, tmp_path):
+    """K4's split-partitioned layout must prune at the scan: a split='train'
+    filter becomes a PartitionFilter, not a post-scan filter over all rows."""
+    from openllm_ocr_annotator_spark.sinks.export import write_split_parquet
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    out = str(tmp_path / "dataset")
+    write_split_parquet(docs, out)
+    scan = spark.read.parquet(out).filter(F.col("split") == "train")
+    plan = _plan(scan)
+    assert "PartitionFilters: [isnotnull(split" in plan
+    # and the data files actually partition by split on disk
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    ) == ["split=test", "split=train", "split=validation"]
