@@ -1,0 +1,74 @@
+"""Job configuration (SURVEY §2.1 S9).
+
+The reference validates YAML config into dataclasses and REJECTS unknown
+keys (reference: config/config_manager.py:200-205,259-278; pinned by its
+test_config_manager.py::test_unknown_fields_are_rejected). Same contract
+here, minus Hydra: plain YAML → dataclasses, unknown keys raise, simple
+type checks. Config stays a driver-side concern — it never enters the
+data plane.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class VoterConfig:
+    method: str = "weighted"  # weighted | majority | highest_confidence
+    weights: dict[str, float] = field(default_factory=dict)
+    num_samples: int = 1
+
+
+@dataclass
+class ExtractionJobConfig:
+    input_path: str = ""
+    table_root: str = ""
+    partitions: int | None = None
+    salt: bool = True
+    voter: VoterConfig = field(default_factory=VoterConfig)
+
+
+_VOTER_METHODS = {"weighted", "majority", "highest_confidence"}
+
+
+def _build(cls, data: dict[str, Any], path: str = ""):
+    """dict → dataclass; unknown keys raise (reference contract)."""
+    known = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(known)
+    if unknown:
+        raise ValueError(
+            f"unknown config key(s) {sorted(unknown)} at '{path or '.'}' "
+            f"(expected: {sorted(known)})"
+        )
+    # postponed annotations make f.type a string — map nested dataclass
+    # fields explicitly by name
+    nested = {"voter": VoterConfig}
+    kwargs = {}
+    for name in known:
+        if name not in data:
+            continue
+        v = data[name]
+        if name in nested:
+            v = _build(nested[name], v or {}, f"{path}{name}.")
+        kwargs[name] = v
+    return cls(**kwargs)
+
+
+def load_config(path: str) -> ExtractionJobConfig:
+    import yaml
+
+    with open(path) as fh:
+        raw = yaml.safe_load(fh) or {}
+    if not isinstance(raw, dict):
+        raise ValueError(f"config root must be a mapping, got {type(raw).__name__}")
+    cfg = _build(ExtractionJobConfig, raw)
+    if not cfg.input_path or not cfg.table_root:
+        raise ValueError("config requires input_path and table_root")
+    if cfg.voter.method not in _VOTER_METHODS:
+        raise ValueError(
+            f"voter.method '{cfg.voter.method}' not in {sorted(_VOTER_METHODS)}"
+        )
+    return cfg

@@ -37,14 +37,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="documents(doc_id, spans) path")
-    ap.add_argument("--table", required=True, help="output snapshot-table root")
+    ap.add_argument("--config", default=None,
+                    help="YAML job config (unknown keys rejected, S9 contract)")
+    ap.add_argument("--input", default=None, help="documents(doc_id, spans) path")
+    ap.add_argument("--table", default=None, help="output snapshot-table root")
     ap.add_argument("--partitions", type=int, default=None,
                     help="repartition width before the kernel (≈2-3× cores)")
     ap.add_argument("--no-salt", action="store_true",
                     help="skip the salted repartition (skew-free corpora only)")
     ap.add_argument("--master", default=None, help="override master (tests)")
     args = ap.parse_args(argv)
+
+    if args.config:
+        from openllm_ocr_annotator_spark.config import load_config
+
+        cfg = load_config(args.config)
+        args.input = args.input or cfg.input_path
+        args.table = args.table or cfg.table_root
+        args.partitions = args.partitions or cfg.partitions
+        if not cfg.salt:
+            args.no_salt = True
+    if not args.input or not args.table:
+        ap.error("--input and --table required (directly or via --config)")
 
     from pyspark.sql import SparkSession
 

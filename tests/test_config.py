@@ -1,0 +1,77 @@
+"""S9 config contract: YAML → dataclasses, unknown keys rejected
+(reference: config/config_manager.py:259-278 and its
+test_unknown_fields_are_rejected)."""
+
+from __future__ import annotations
+
+import pytest
+
+from openllm_ocr_annotator_spark.config import load_config
+
+
+def _write(tmp_path, text):
+    p = tmp_path / "job.yaml"
+    p.write_text(text)
+    return str(p)
+
+
+def test_valid_config_roundtrip(tmp_path):
+    cfg = load_config(_write(tmp_path, """
+input_path: /data/docs
+table_root: /data/table
+partitions: 64
+voter:
+  method: weighted
+  weights: {ann_a: 2.0}
+  num_samples: 3
+"""))
+    assert cfg.input_path == "/data/docs"
+    assert cfg.partitions == 64
+    assert cfg.voter.weights == {"ann_a": 2.0}
+    assert cfg.salt is True  # default
+
+
+def test_unknown_fields_are_rejected(tmp_path):
+    with pytest.raises(ValueError, match="unknown config key.*typo_key"):
+        load_config(_write(tmp_path, """
+input_path: /x
+table_root: /y
+typo_key: true
+"""))
+    with pytest.raises(ValueError, match="unknown config key.*weihgts"):
+        load_config(_write(tmp_path, """
+input_path: /x
+table_root: /y
+voter: {weihgts: {}}
+"""))
+
+
+def test_required_and_enum_validation(tmp_path):
+    with pytest.raises(ValueError, match="requires input_path"):
+        load_config(_write(tmp_path, "table_root: /y"))
+    with pytest.raises(ValueError, match="not in"):
+        load_config(_write(tmp_path, """
+input_path: /x
+table_root: /y
+voter: {method: quantum}
+"""))
+
+
+def test_job_accepts_config_file(spark, tmp_path):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from run_extraction_job import main
+
+    from openllm_ocr_annotator_spark.synth import synthesize_documents
+
+    docs_path = str(tmp_path / "docs")
+    synthesize_documents(spark, "/root/testdata/sf0.001").limit(50).write.parquet(docs_path)
+    cfg = _write(tmp_path, f"""
+input_path: {docs_path}
+table_root: {tmp_path}/table
+partitions: 4
+""")
+    out = main(["--config", cfg, "--master", "local[4]"])
+    assert out["committed_spans"] > 0
