@@ -217,10 +217,17 @@ def _extract_attr(tag_body: str, attr: str) -> str:
     return v[:end]
 
 
-def classify_blocks(items: list[tuple]) -> list[tuple]:
+def classify_blocks(
+    items: list[tuple],
+    strong_words: int = STRONG_WORDS,
+    weak_words: int = WEAK_WORDS,
+    max_link_density: float = MAX_LINK_DENSITY,
+) -> list[tuple]:
     """Keep content blocks + their media; drop boilerplate.
 
     Returns ordered kept items as ``("text", text)`` / ``("media", src)``.
+    Thresholds are parameters so ensemble legs can run kernel VARIANTS
+    (stricter/looser boilerplate cuts) over the same tokenization.
     """
     text_idx = [k for k, it in enumerate(items) if it[0] == "text"]
     n_text = len(text_idx)
@@ -229,10 +236,10 @@ def classify_blocks(items: list[tuple]) -> list[tuple]:
     for t, k in enumerate(text_idx):
         _, text, density, chrome = items[k]
         words = len(text.split())
-        if chrome or density > MAX_LINK_DENSITY:
+        if chrome or density > max_link_density:
             continue
-        eligible[t] = words >= WEAK_WORDS
-        strong[t] = words >= STRONG_WORDS
+        eligible[t] = words >= weak_words
+        strong[t] = words >= strong_words
     keep_text = list(strong)
     for t in range(n_text):
         if eligible[t] and not strong[t]:
@@ -271,6 +278,13 @@ def classify_blocks(items: list[tuple]) -> list[tuple]:
     return out
 
 
-def extract_html_items(html: str) -> list[tuple]:
+def extract_html_items(
+    html: str,
+    strong_words: int = STRONG_WORDS,
+    weak_words: int = WEAK_WORDS,
+    max_link_density: float = MAX_LINK_DENSITY,
+) -> list[tuple]:
     """tokenize + classify in one call: ordered kept (kind, payload) items."""
-    return classify_blocks(tokenize_html(html))
+    return classify_blocks(
+        tokenize_html(html), strong_words, weak_words, max_link_density
+    )

@@ -26,12 +26,18 @@ def _norm_ws(s: str) -> str:
     return " ".join(s.split())
 
 
-def extract_span(kind: str, text: str, media_ref: str) -> list[tuple[str, str, str]]:
-    """One input span → ordered (kind, text, media_ref) output items."""
+def extract_span(
+    kind: str, text: str, media_ref: str, params: dict | None = None
+) -> list[tuple[str, str, str]]:
+    """One input span → ordered (kind, text, media_ref) output items.
+
+    ``params``: optional kernel-variant thresholds for ensemble legs
+    (keys: strong_words, weak_words, max_link_density). None = defaults.
+    """
     k = (kind or "").lower()
     if k == "html":
         out = []
-        for item in extract_html_items(text or ""):
+        for item in extract_html_items(text or "", **(params or {})):
             if item[0] == "text":
                 out.append((TEXT_KIND, item[1], ""))
             else:

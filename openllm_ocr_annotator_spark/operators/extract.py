@@ -48,7 +48,7 @@ def salted_repartition(docs: DataFrame, num_partitions: int, salt_buckets: int =
     return salted.repartition(num_partitions, "doc_id", "_salt").drop("_salt")
 
 
-def extract_spans(docs: DataFrame) -> DataFrame:
+def extract_spans(docs: DataFrame, params: dict | None = None) -> DataFrame:
     """documents(doc_id, spans) → ordered extracted spans (exploded rows).
 
     Narrow (no shuffle): one ``mapInArrow`` stage over the scan partitioning.
@@ -92,7 +92,7 @@ def extract_spans(docs: DataFrame) -> DataFrame:
                 rank = 0
                 for j in order:
                     for kind, text, ref in extract_span(
-                        kinds[j] or "", texts[j] or "", refs[j] or ""
+                        kinds[j] or "", texts[j] or "", refs[j] or "", params
                     ):
                         o_doc.append(did)
                         o_kind.append(kind)
@@ -244,6 +244,63 @@ def lineage_metrics(extracted: DataFrame) -> DataFrame:
         F.countDistinct("doc_id").alias("doc_count"),
         F.count(F.lit(1)).alias("span_count"),
         F.bit_xor(row_hash).alias("checksum"),
+    )
+
+
+def ensemble_extract(
+    docs: DataFrame,
+    legs: list[tuple[str, float, dict | None]],
+) -> DataFrame:
+    """SURVEY §7.0 ensemble line: N extractor VARIANTS vote per document.
+
+    Each leg = (name, weight, kernel_params) runs the extraction kernel with
+    its own boilerplate thresholds. Per document, the legs weighted-vote on
+    the full span-sequence digest (xxhash64 fold over ordered rows — the
+    analog of the reference's per-field vote, lifted to whole sequences
+    since our extraction atom is the ordered sequence, not a key/value
+    field). The winning digest's spans are emitted; ties break
+    (weight DESC, digest ASC) deterministically. Output adds
+    ``consensus_weight`` ∈ (0,1]: winning weight / total weight.
+
+    Plan: legs are a tagged union of narrow kernel passes; the vote is two
+    hash-aggs + one window — no per-leg driver round-trips.
+    """
+    tagged = None
+    weights = {name: w for name, w, _ in legs}
+    for name, _w, params in legs:
+        leg_df = extract_spans(docs, params).withColumn("leg", F.lit(name))
+        tagged = leg_df if tagged is None else tagged.unionByName(leg_df)
+
+    row_hash = F.xxhash64("kind", "text", "media_ref", "offset")
+    digests = tagged.groupBy("doc_id", "leg").agg(
+        # order-insensitive fold is fine: offset is part of every row hash,
+        # so two different orderings cannot collide except by hash collision
+        F.bit_xor(row_hash).alias("digest"),
+    )
+    w_expr = F.create_map(
+        *[x for name, w in weights.items() for x in (F.lit(name), F.lit(w))]
+    )
+    scored = (
+        digests.withColumn("w", w_expr[F.col("leg")])
+        .groupBy("doc_id", "digest")
+        .agg(F.sum("w").alias("score"), F.min("leg").alias("rep_leg"))
+    )
+    from pyspark.sql import Window
+
+    field_w = Window.partitionBy("doc_id")
+    rank_w = field_w.orderBy(F.col("score").desc(), F.col("digest").asc())
+    winners = (
+        scored.withColumn("_total", F.sum("score").over(field_w))
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("rep_leg").alias("leg"),
+            (F.col("score") / F.col("_total")).alias("consensus_weight"),
+        )
+    )
+    return tagged.join(winners, ["doc_id", "leg"]).select(
+        "doc_id", "kind", "text", "media_ref", "offset", "consensus_weight"
     )
 
 

@@ -60,6 +60,21 @@ def q_extract_spans_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.extract_spans_wide(docs)
 
 
+@_q("ensemble_extract")
+def q_ensemble_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.0 ensemble legs: three kernel variants (default ×2 legs,
+    strict boilerplate cut at weight 1.5) weighted-vote per document on the
+    span-sequence digest; winning sequence emitted with consensus share
+    (rows-only; semantics pinned by tests/test_extract_e2e.py)."""
+    docs = synth.synthesize_documents(spark, sf_dir)
+    legs = [
+        ("default", 1.0, None),
+        ("default_twin", 1.0, None),
+        ("strict", 1.5, {"strong_words": 25, "max_link_density": 0.15}),
+    ]
+    return extract.ensemble_extract(docs, legs)
+
+
 @_q("extract_lineage")
 def q_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§4.2 lineage: per-partition (doc_count, span_count, checksum) rows."""

@@ -195,3 +195,47 @@ def test_extract_null_robustness(spark):
     wide = sorted(map(tuple, extract_spans_wide(docs).collect()))
     assert narrow == wide
     assert narrow == [("doc_null_fields", "text", "real content here", "", 0)]
+
+
+def test_ensemble_extract_consensus(spark):
+    """N kernel variants weighted-vote per doc on the sequence digest; the
+    winning variant's spans are emitted with the consensus share."""
+    from openllm_ocr_annotator_spark.operators.extract import (
+        ensemble_extract,
+        extract_spans,
+    )
+    from openllm_ocr_annotator_spark.synth import synthesize_documents
+
+    docs = synthesize_documents(spark, "/root/testdata/sf0.001").limit(60).cache()
+    legs = [
+        ("default", 1.0, None),
+        ("default_twin", 1.0, None),            # agrees with default
+        ("strict", 1.5, {"strong_words": 25, "max_link_density": 0.15}),
+    ]
+    out = ensemble_extract(docs, legs).cache()
+    rows = out.collect()
+    assert rows, "consensus output must be non-empty"
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    default = {
+        r.doc_id: r for r in extract_spans(docs).collect() if r.offset == 0
+    }
+    strict_differs = agrees = 0
+    for doc_id, doc_rows in by_doc.items():
+        cw = doc_rows[0].consensus_weight
+        assert 0 < cw <= 1.0
+        # default+twin carry 2.0 of 3.5 weight → where strict disagrees,
+        # the default sequence must win with weight 2/3.5
+        if abs(cw - 2.0 / 3.5) < 1e-9:
+            strict_differs += 1
+            r0 = min(doc_rows, key=lambda r: r.offset)
+            d0 = default[doc_id]
+            assert (r0.kind, r0.text, r0.media_ref) == (d0.kind, d0.text, d0.media_ref)
+        elif abs(cw - 1.0) < 1e-9:
+            agrees += 1
+    # the strict leg must actually disagree somewhere AND agree somewhere
+    assert strict_differs > 0 and agrees > 0
+    docs.unpersist()
+    out.unpersist()
