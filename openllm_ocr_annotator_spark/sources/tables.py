@@ -14,42 +14,82 @@ engine's equivalent is a committed-snapshot table:
   replaces the per-file ``result_path.exists()`` check with one distributed
   join (SURVEY §4.2.3).
 
-In production this is exactly the Iceberg snapshot + append pattern; the
-sandbox has no Iceberg jars, so the manifest is a JSON file with the same
-semantics behind the same four methods (documented fallback, SURVEY §7.3).
+All filesystem access goes through the Hadoop FileSystem API, so the table
+root may be ``file:``, ``hdfs:``, or any configured object-store scheme.
+The manifest rename is the commit point — atomic on local FS and HDFS; on
+S3-like stores (non-atomic rename) production should swap this layer for a
+real Iceberg catalog, which exposes the exact same four-method surface
+(documented fallback, SURVEY §7.3).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+class _HadoopFS:
+    """Thin py4j wrapper over org.apache.hadoop.fs.FileSystem."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self.fs = self._Path(root).getFileSystem(sc._jsc.hadoopConfiguration())
+
+    def mkdirs(self, path: str) -> None:
+        self.fs.mkdirs(self._Path(path))
+
+    def list_json(self, dirpath: str) -> list[str]:
+        """Full paths of *.json children, sorted by file name."""
+        p = self._Path(dirpath)
+        if not self.fs.exists(p):
+            return []
+        entries = [
+            (str(s.getPath().getName()), str(s.getPath()))
+            for s in self.fs.listStatus(p)
+        ]
+        return [full for name, full in sorted(entries) if name.endswith(".json")]
+
+    def read_json(self, path: str) -> dict:
+        stream = self.fs.open(self._Path(path))
+        try:
+            text = self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def write_json_atomic(self, tmp: str, final: str, obj: dict) -> None:
+        out = self.fs.create(self._Path(tmp), True)
+        try:
+            out.write(bytearray(json.dumps(obj), "utf-8"))
+        finally:
+            out.close()
+        self.fs.rename(self._Path(tmp), self._Path(final))
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
-        self.root = root
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        self.root = root.rstrip("/")
+        self._fs = _HadoopFS(spark, self.root)
+        self._fs.mkdirs(f"{self.root}/data")
+        self._fs.mkdirs(f"{self.root}/manifests")
 
     # -- manifest chain -------------------------------------------------------
 
     def _manifest_paths(self) -> list[str]:
-        d = os.path.join(self.root, "manifests")
-        return sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".json")
-        )
+        return self._fs.list_json(f"{self.root}/manifests")
 
     def snapshots(self) -> list[dict]:
-        return [json.load(open(p)) for p in self._manifest_paths()]
+        return [self._fs.read_json(p) for p in self._manifest_paths()]
 
     def latest(self) -> dict | None:
         paths = self._manifest_paths()
-        return json.load(open(paths[-1])) if paths else None
+        return self._fs.read_json(paths[-1]) if paths else None
 
     # -- write path -----------------------------------------------------------
 
@@ -71,12 +111,12 @@ class SnapshotTable:
         inputs on every resume.
         """
         snap_id = f"{int(time.time() * 1000):014d}_{uuid.uuid4().hex[:8]}"
-        data_dir = os.path.join(self.root, "data", snap_id)
+        data_dir = f"{self.root}/data/{snap_id}"
         df.write.mode("errorifexists").parquet(data_dir)
         n_rows = self.spark.read.parquet(data_dir).count()
         keys_dir = None
         if keys is not None:
-            keys_dir = os.path.join(self.root, "keys", snap_id)
+            keys_dir = f"{self.root}/keys/{snap_id}"
             keys.distinct().write.mode("errorifexists").parquet(keys_dir)
         parent = self.latest()
         manifest = {
@@ -89,11 +129,11 @@ class SnapshotTable:
                 [r.asDict() for r in lineage.collect()] if lineage is not None else []
             ),
         }
-        tmp = os.path.join(self.root, "manifests", f".{snap_id}.tmp")
-        final = os.path.join(self.root, "manifests", f"{snap_id}.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, final)  # atomic commit point
+        self._fs.write_json_atomic(
+            f"{self.root}/manifests/.{snap_id}.tmp",
+            f"{self.root}/manifests/{snap_id}.json",
+            manifest,
+        )
         return snap_id
 
     # -- read path -------------------------------------------------------------

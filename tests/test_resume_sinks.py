@@ -111,3 +111,21 @@ def test_split_deterministic_and_partitioned(spark, tmp_path):
     # partition pruning works: reading one split returns only that split
     train = spark.read.parquet(out).filter(F.col("split") == "train")
     assert train.count() == frac["train"]
+
+
+def test_snapshot_table_accepts_uri_scheme_root(spark, tmp_path):
+    """The table layer goes through the Hadoop FileSystem API — an explicit
+    file:// scheme root must behave identically to a bare path (and hdfs://
+    or s3a:// roots resolve through the same code path in production)."""
+    from openllm_ocr_annotator_spark.sources.tables import SnapshotTable
+
+    table = SnapshotTable(spark, f"file://{tmp_path}/table")
+    df = spark.range(5).selectExpr("CAST(id AS STRING) AS doc_id", "id AS v")
+    snap = table.commit(df, keys=df.select("doc_id"))
+    assert snap is not None
+    assert table.read_committed().count() == 5
+    remaining = table.resume_filter(
+        spark.range(8).selectExpr("CAST(id AS STRING) AS doc_id"), "doc_id"
+    )
+    assert remaining.count() == 3
+    assert table.latest()["n_rows"] == 5
