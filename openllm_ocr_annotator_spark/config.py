@@ -57,13 +57,46 @@ def _build(cls, data: dict[str, Any], path: str = ""):
     return cls(**kwargs)
 
 
-def load_config(path: str) -> ExtractionJobConfig:
+def _deep_merge(base: dict, override: dict) -> dict:
+    """Later wins; mappings merge recursively, scalars/lists replace —
+    the reference's Hydra defaults-composition semantics
+    (config_manager.py:214-227)."""
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _load_raw(path: str, seen: frozenset[str] = frozenset()) -> dict[str, Any]:
+    """YAML + ``defaults:`` composition: each listed file (resolved relative
+    to the including file) loads first, in order, deep-merged left→right;
+    the including file's own keys win last. Cycles raise."""
+    import os
+
     import yaml
 
-    with open(path) as fh:
+    apath = os.path.abspath(path)
+    if apath in seen:
+        raise ValueError(f"config defaults cycle at {apath}")
+    with open(apath) as fh:
         raw = yaml.safe_load(fh) or {}
     if not isinstance(raw, dict):
         raise ValueError(f"config root must be a mapping, got {type(raw).__name__}")
+    defaults = raw.pop("defaults", [])
+    if isinstance(defaults, str):
+        defaults = [defaults]
+    merged: dict[str, Any] = {}
+    for rel in defaults:
+        dpath = rel if os.path.isabs(rel) else os.path.join(os.path.dirname(apath), rel)
+        merged = _deep_merge(merged, _load_raw(dpath, seen | {apath}))
+    return _deep_merge(merged, raw)
+
+
+def load_config(path: str) -> ExtractionJobConfig:
+    raw = _load_raw(path)
     cfg = _build(ExtractionJobConfig, raw)
     if not cfg.input_path or not cfg.table_root:
         raise ValueError("config requires input_path and table_root")

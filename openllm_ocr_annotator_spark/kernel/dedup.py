@@ -129,23 +129,41 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 
 
 def minhash_signatures_batch(
-    allsh: np.ndarray, counts: np.ndarray, a: np.ndarray, b: np.ndarray
+    allsh: np.ndarray, counts: np.ndarray, a: np.ndarray, b: np.ndarray,
+    slab: int = 1 << 16,
 ) -> np.ndarray:
-    """(n_docs, num_perm) signatures for a whole batch in one matrix pass.
+    """(n_docs, num_perm) signatures for a whole batch, slab-bounded memory.
 
-    ``np.minimum.reduceat`` over the per-doc segments of the (num_perm,
-    total_shingles) product matrix — no per-document Python. Every doc has
-    ≥1 shingle by construction (``shingle_hashes`` pads short docs), so the
-    reduceat segments are never empty.
+    The shingle axis is processed in fixed-size slabs: per slab, one
+    (num_perm × slab) product matrix + ``np.minimum.reduceat`` over the doc
+    segments intersecting it, folded into the running per-doc minima. Peak
+    transient is num_perm × slab (e.g. 64 × 65536 × 8 B = 32 MB) regardless
+    of batch row count or mega-doc shingle counts — a session that doesn't
+    set arrow.maxRecordsPerBatch (default 10k rows) can no longer drive a
+    multi-GB allocation. Per-doc results are bit-identical to the unsliced
+    pass (min over slab partials == global min). Every doc has ≥1 shingle
+    by construction (``shingle_hashes`` pads short docs), so segments are
+    never empty.
     """
     if counts.size == 0:
         return np.empty((0, a.size), dtype=np.uint64)
     starts = np.zeros(counts.size, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    with np.errstate(over="ignore"):
-        prod = (a[:, None] * allsh[None, :] + b[:, None]) & MASK64
-        prod %= _MERSENNE
-    return np.minimum.reduceat(prod, starts, axis=1).T
+    ends = starts + counts
+    out = np.full((counts.size, a.size), np.iinfo(np.uint64).max, dtype=np.uint64)
+    total = int(allsh.size)
+    for lo in range(0, total, slab):
+        hi = min(lo + slab, total)
+        with np.errstate(over="ignore"):
+            prod = (a[:, None] * allsh[None, lo:hi] + b[:, None]) & MASK64
+            prod %= _MERSENNE
+        # docs overlapping [lo, hi): contiguous, each contributes ≥1 element
+        d0 = int(np.searchsorted(ends, lo, side="right"))
+        d1 = int(np.searchsorted(starts, hi, side="left"))
+        seg_starts = np.maximum(starts[d0:d1], lo) - lo
+        mins = np.minimum.reduceat(prod, seg_starts, axis=1).T
+        np.minimum(out[d0:d1], mins, out=out[d0:d1])
+    return out
 
 
 def band_hashes(signature: np.ndarray, num_bands: int) -> np.ndarray:

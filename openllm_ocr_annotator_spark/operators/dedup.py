@@ -81,28 +81,37 @@ def ngram_jaccard_pairs(
     bounded by Σ min(df, max_df)². None = exact all-gram semantics (small
     corpora / verification).
 
-    Physical shape: shingles are hashed to int64 (``xxhash64``) right after
-    the explode, so every downstream exchange/join moves 8-byte keys instead
-    of multi-word strings; the df cap is a window count over the gram key
-    (one exchange, partial-agg'd) — NOT a broadcast of the rare-gram set,
-    which is most of the vocabulary and would melt the driver at scale.
+    Physical shape: with ``max_df`` set (the scale path) shingles are hashed
+    to int64 (``xxhash64``) right after the explode, so every downstream
+    exchange/join moves 8-byte keys instead of multi-word strings; the df
+    cap is a window count over the gram key (one exchange, partial-agg'd) —
+    NOT a broadcast of the rare-gram set, which is most of the vocabulary
+    and would melt the driver at scale. With ``max_df=None`` (verification
+    mode) the join keys stay the gram STRINGS: hashed keys could collide
+    (2⁻⁶⁴ per pair) and flip a borderline pair, which would silently break
+    this mode's exact-all-gram contract (the role PLANS.md assigns it).
+    The gram relation is persisted: it feeds three subtrees (sizes + both
+    sides of the self-join) and recomputing the explode 3× was ~10% of
+    suite wall-time.
     """
+    from pyspark import StorageLevel
+
     docs = spread_partitions(docs, id_col)
-    grams = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(ngram_tokens(F.col(text_col), n)).alias("g"),
-        )
-        .filter(F.col("g") != "")
-        .select("doc_id", F.xxhash64("g").alias("gh"))
-    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngram_tokens(F.col(text_col), n)).alias("g"),
+    ).filter(F.col("g") != "")
     if max_df is not None:
+        grams = grams.select("doc_id", F.xxhash64("g").alias("gh"))
         w = Window.partitionBy("gh")
         grams = (
             grams.withColumn("_df", F.count(F.lit(1)).over(w))
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
+    else:
+        grams = grams.select("doc_id", F.col("g").alias("gh"))
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")

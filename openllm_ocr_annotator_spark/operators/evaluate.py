@@ -111,6 +111,39 @@ def sampling_effectiveness(per_doc_sampling: DataFrame) -> DataFrame:
     )
 
 
+def sampling_markdown_report(per_doc_sampling: DataFrame, num_samples: int) -> str:
+    """K5 second half: the sampling evaluation report (reference:
+    evaluators/sampling_evaluator.py:176-204) — same sections, same line
+    labels, same ``{:.2%}`` formatting. Overall statistics are per-image
+    averages of the per-image sample stats (reference accumulates
+    ``overall_stats[key] += stats[key]`` then divides by image count:
+    :142-155); effectiveness is the best-vs-mean gap stats (:157-172).
+
+    ``per_doc_sampling``: output of :func:`sampling_stats`.
+    """
+    overall = per_doc_sampling.agg(
+        F.avg("mean_accuracy").alias("mean_accuracy"),
+        F.avg("max_accuracy").alias("max_accuracy"),
+        F.avg(F.col("any_exact_match").cast("double")).alias("exact_match_rate"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).first()
+    eff = sampling_effectiveness(per_doc_sampling).first()
+    report = [
+        "# Sampling Evaluation Report\n",
+        "## Overall Statistics",
+        f"- Mean Accuracy: {overall.mean_accuracy:.2%}",
+        f"- Best Sample Accuracy: {overall.max_accuracy:.2%}",
+        f"- Exact Match Rate: {overall.exact_match_rate:.2%}",
+        f"- Total Images Evaluated: {overall.n_docs}",
+        f"- Samples per Image: {num_samples}\n",
+        "## Sampling Effectiveness",
+        f"- Mean Improvement: {eff.mean_improvement:.2%}",
+        f"- Max Improvement: {eff.max_improvement:.2%}",
+        f"- Min Improvement: {eff.min_improvement:.2%}\n",
+    ]
+    return "\n".join(report)
+
+
 def markdown_report(evaluated: DataFrame) -> str:
     """K5: driver-side markdown accuracy report from the small aggregates
     (reference: evaluators/field_evaluator.py:144-173)."""

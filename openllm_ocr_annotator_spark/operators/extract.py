@@ -137,6 +137,15 @@ def extract_spans_wide(docs: DataFrame) -> DataFrame:
     Cost: one shuffle of the expanded items (≈ output size). Use it when
     the heavy tail is extreme (single docs that would straggle a stage);
     the narrow path stays the default.
+
+    Residual floor (documented limit): the final renumber window re-collects
+    each doc's OUTPUT items onto one task for the int-keyed sort — the
+    kernel work (the dominant cost, measured 2.1× at 50% skew in
+    scripts/skew_bench.py) is spread, but a giga-doc's output still
+    single-threads through that sort. If that ever dominates, split the
+    window into (doc_id, span_rank-range) buckets with additive base
+    offsets computed from per-bucket counts — deferred until a workload
+    shows it.
     """
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -188,8 +197,16 @@ def extract_spans_wide(docs: DataFrame) -> DataFrame:
     # sort runs over input spans only; the post-kernel window then orders by
     # two ints — the expanded item stream (which can be 100× larger and
     # carries the extracted text payloads) never sorts by strings.
+    # Keys are null-coalesced to mirror the narrow kernel's coercion
+    # (`offs[j] or 0`, `kinds[j] or ""`, …): without this, Spark's NULLS
+    # FIRST would sort a NULL-offset span before an offset-0 sibling while
+    # the kernel ties them — breaking row-for-row equivalence.
     rank_w = Window.partitionBy("doc_id").orderBy(
-        "offset", "kind", "media_ref", "text", "pos"
+        F.coalesce(F.col("offset"), F.lit(0)),
+        F.coalesce(F.col("kind"), F.lit("")),
+        F.coalesce(F.col("media_ref"), F.lit("")),
+        F.coalesce(F.col("text"), F.lit("")),
+        "pos",
     )
     ranked = exploded.select(
         "doc_id",
@@ -263,13 +280,19 @@ def ensemble_extract(
     ``consensus_weight`` ∈ (0,1]: winning weight / total weight.
 
     Plan: legs are a tagged union of narrow kernel passes; the vote is two
-    hash-aggs + one window — no per-leg driver round-trips.
+    hash-aggs + one window — no per-leg driver round-trips. The union is
+    persisted (memory-and-disk) because it is consumed twice — by the digest
+    aggregation and by the winner join; without it each leg's kernel (the
+    most expensive stage in the engine) would run 2×.
     """
+    from pyspark import StorageLevel
+
     tagged = None
     weights = {name: w for name, w, _ in legs}
     for name, _w, params in legs:
         leg_df = extract_spans(docs, params).withColumn("leg", F.lit(name))
         tagged = leg_df if tagged is None else tagged.unionByName(leg_df)
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
 
     row_hash = F.xxhash64("kind", "text", "media_ref", "offset")
     digests = tagged.groupBy("doc_id", "leg").agg(

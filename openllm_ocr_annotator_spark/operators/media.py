@@ -6,11 +6,14 @@ shipping them to the LLM. The engine treats media as opaque ``binary``
 payloads (or ``media_ref`` pointers) with typed metadata, processed by
 Arrow-batched ``mapInPandas`` kernels.
 
-This container has no image/audio libraries, so the DECODE step is stubbed
-(clearly marked below): ``decode=`` either raises NotImplementedError
-(strict mode) or produces a deterministic fake (CI mode) — while everything
-Spark-side is real and tested: schemas, batch iteration, partition behavior,
-output contract. Swapping in PIL/ffmpeg later changes ONE function body.
+Decode is PLUGGABLE: when PIL is importable AND the input carries a
+``payload`` binary column, ``extract_media_features`` decodes for real
+(one function body swap, covered by a skip-if-no-PIL test). Otherwise it
+falls back to a clearly-marked deterministic fake derived from
+``md5(media_ref)`` — chosen over an arbitrary hash precisely because md5
+hex is reproducible in any SQL dialect, so the driver's DuckDB oracle can
+verify the whole media plumbing end-to-end (geometry columns), not just
+count rows.
 
 Scale notes: media bytes dominate row size → keep them out of shuffles
 (extract features first, drop payload), and bound Arrow batches via
@@ -19,13 +22,21 @@ Scale notes: media bytes dominate row size → keep them out of shuffles
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from ..kernel.dedup import hash_token
+try:  # optional real decoder — not present in this container
+    from PIL import Image as _PILImage  # pragma: no cover
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _PILImage = None
+    HAS_PIL = False
 
 MEDIA_FEATURE_DIM = 8
 MEDIA_SCHEMA = (
@@ -35,45 +46,78 @@ MEDIA_SCHEMA = (
 
 MAX_BYTES = 20 * 1024 * 1024  # reference guard: annotators/base.py:15
 MAX_PIXELS = 178_956_970
+# mega-frame multiplier: 1 in ~10 fake frames is upscaled 64× per side so the
+# resize guard actually triggers on synthetic corpora (pixels ×4096 > caps)
+_MEGA_SCALE = 64
 
 
 def _fake_decode(media_ref: str, kind: str) -> tuple[int, int, int]:
-    """STUB — deterministic fake decode (no PIL/ffmpeg in this container).
+    """STUB — deterministic fake decode (no PIL/ffmpeg payload available).
 
-    Real implementation: PIL.Image.open / av.open on the binary payload,
-    honoring the MAX_BYTES/MAX_PIXELS guards with LANCZOS downscale
-    (reference: annotators/base.py:77-163). The fake derives stable
-    (width, height, n_frames) from the media_ref hash so tests are exact.
+    Real implementation: ``_pil_decode`` below. The fake derives stable
+    (width, height, n_frames) from md5(media_ref) hex bytes — the exact
+    arithmetic is restated in DuckDB SQL by the driver oracle
+    (queries_catalog._MEDIA_GEOM_SQL), so geometry is value-checked
+    cross-engine, not merely row-counted.
     """
-    h = int(hash_token(media_ref or ""))
-    width = 64 + h % 1920
-    height = 64 + (h >> 16) % 1080
-    n_frames = 1 if kind == "image" else 1 + (h >> 32) % 300
+    hd = hashlib.md5((media_ref or "").encode("utf-8")).hexdigest()
+    b = [ord(c) for c in hd[:6]]
+    mega = _MEGA_SCALE if (b[0] + b[1]) % 10 == 0 else 1
+    width = (64 + (b[0] * 256 + b[1]) % 1920) * mega
+    height = (64 + (b[2] * 256 + b[3]) % 1080) * mega
+    n_frames = 1 if kind == "image" else 1 + (b[4] * 256 + b[5]) % 300
+    return width, height, n_frames
+
+
+def _pil_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
+    """Real decode path (used when PIL is importable and bytes are present).
+
+    Mirrors the reference's guard expectations (annotators/base.py:77-163):
+    geometry is read from the actual image; DecompressionBomb is left to
+    PIL's own limit, matching the reference's ImageFile handling.
+    """
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        n_frames = int(getattr(im, "n_frames", 1)) if kind != "image" else 1
     return width, height, n_frames
 
 
 def _fake_feature(media_ref: str) -> list[float]:
     """STUB — deterministic fake embedding; real impl: a vision encoder."""
-    h = int(hash_token(media_ref or ""))
-    rng = np.random.RandomState(h % (2**31))
+    hd = hashlib.md5((media_ref or "").encode("utf-8")).hexdigest()
+    rng = np.random.RandomState(int(hd[:8], 16) % (2**31))
     return rng.normal(size=MEDIA_FEATURE_DIM).astype(np.float32).tolist()
 
 
 def extract_media_features(media_rows: DataFrame, strict: bool = False) -> DataFrame:
-    """(doc_id, media_ref, kind) → decoded metadata + feature vector.
+    """(doc_id, media_ref, kind[, payload]) → decoded metadata + feature vector.
 
-    ``strict=True`` raises NotImplementedError at plan-execution time —
-    the behavior a production deployment wants when the decoder is missing,
+    When the input carries a ``payload`` binary column and PIL is importable,
+    frames decode for real; otherwise the md5-based fake stands in.
+    ``strict=True`` raises NotImplementedError at plan-execution time when no
+    real decoder is available — the behavior a production deployment wants,
     rather than silently fake features.
     """
+    has_payload = "payload" in media_rows.columns
+    use_real = has_payload and HAS_PIL
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
+        if strict and not use_real:
             raise NotImplementedError(
                 "media decode requires PIL/ffmpeg; not available in this container"
             )
         for pdf in batches:
-            meta = [_fake_decode(r, k) for r, k in zip(pdf["media_ref"], pdf["kind"])]
+            if use_real:
+                meta = [
+                    _pil_decode(p, k) if p is not None else _fake_decode(r, k)
+                    for r, k, p in zip(pdf["media_ref"], pdf["kind"], pdf["payload"])
+                ]
+            else:
+                meta = [
+                    _fake_decode(r, k) for r, k in zip(pdf["media_ref"], pdf["kind"])
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -86,9 +130,8 @@ def extract_media_features(media_rows: DataFrame, strict: bool = False) -> DataF
                 }
             )
 
-    return media_rows.select("doc_id", "media_ref", "kind").mapInPandas(
-        kernel, schema=MEDIA_SCHEMA
-    )
+    cols = ["doc_id", "media_ref", "kind"] + (["payload"] if has_payload else [])
+    return media_rows.select(*cols).mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 def resize_plan(media_feats: DataFrame, bytes_per_pixel: float = 3.0) -> DataFrame:
@@ -99,20 +142,21 @@ def resize_plan(media_feats: DataFrame, bytes_per_pixel: float = 3.0) -> DataFra
     Only the pixel *resampling* itself (LANCZOS) needs an image lib; the
     target geometry is pure columnar math.
 
+    halvings = the smallest h with pixels ≤ cap·4^h, found by filtering a
+    tiny literal sequence rather than ``ceil(log4(ratio))``: comparisons of
+    exactly-representable doubles are bit-deterministic across engines,
+    while a transcendental log differs in ulps at exact-power boundaries —
+    this keeps the DuckDB oracle value-exact. 4^30·cap ≫ any int32² frame.
+
     Adds (target_width, target_height, halvings, needs_resize).
     """
-    from pyspark.sql import functions as F
-
-    # halvings h: smallest h with (w·h⁻²)·(h·h⁻²)... i.e. pixels/4^h within
-    # both caps → h = ceil(log4(pixels / cap)) against the tighter cap
     pixels = F.col("width").cast("double") * F.col("height").cast("double")
-    cap = F.least(
-        F.lit(float(MAX_PIXELS)), F.lit(MAX_BYTES / bytes_per_pixel)
+    cap = F.least(F.lit(float(MAX_PIXELS)), F.lit(MAX_BYTES / bytes_per_pixel))
+    fits = F.filter(
+        F.sequence(F.lit(0), F.lit(30)),
+        lambda h: pixels <= cap * F.pow(F.lit(4.0), h.cast("double")),
     )
-    ratio = pixels / cap
-    halvings = F.when(
-        ratio > 1.0, F.ceil(F.log(4.0, ratio)).cast("int")
-    ).otherwise(F.lit(0))
+    halvings = F.element_at(fits, 1).cast("int")
     scale = F.pow(F.lit(2.0), -halvings.cast("double"))
     return media_feats.select(
         "*",
@@ -129,8 +173,6 @@ def frame_sample_plan(media_feats: DataFrame, every_n: int = 30) -> DataFrame:
     The explode is JVM-side; the (stubbed) per-frame decode would be another
     mapInPandas over (media_ref, frame_idx).
     """
-    from pyspark.sql import functions as F
-
     idx = F.explode(
         F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
     )

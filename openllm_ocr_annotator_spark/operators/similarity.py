@@ -88,6 +88,8 @@ def lsh_bucket_ids(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):  # np.stack([]) raises on empty Arrow batches
+                continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             ids, buckets = [], []
             for t in range(n_tables):
@@ -163,6 +165,8 @@ def ivf_assignments(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
         for pdf in batches:
+            if not len(pdf):  # np.stack([]) raises on empty Arrow batches
+                continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = mat @ cnorm.T  # (n, n_cells)

@@ -109,7 +109,8 @@ def q_scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "source_filter",
     """
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE lower(source) IN ('src0', 'src1', 'src2')
     GROUP BY source
@@ -538,7 +539,7 @@ _EVAL_BASE_SQL = f"""
     _EVAL_BASE_SQL
     + """
     SELECT field_name,
-           SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS n_correct,
+           CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            COUNT(*) AS n_total,
            round(AVG(CASE WHEN correct THEN 1.0 ELSE 0.0 END), 6) AS accuracy
     FROM evaluated GROUP BY field_name
@@ -758,7 +759,7 @@ _MATCHER_PAIRS_SQL = """
     f"""
     WITH pairs AS ({_MATCHER_PAIRS_SQL})
     SELECT matcher,
-           SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS n_match,
+           CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
            COUNT(*) AS n_total
     FROM (
       SELECT matcher, coalesce(CASE matcher
@@ -974,7 +975,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cos DESC, neighbor_id ASC) AS rn
       FROM s
     )
-    SELECT query_id, neighbor_id, rn AS rank, round(cos, 6) AS cosine
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, round(cos, 6) AS cosine
     FROM r WHERE rn <= 5
     """,
 )
@@ -1008,14 +1009,45 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=16, nprobe=4)
 
 
-@_q("embedding_near_dups")
+@_q(
+    "embedding_near_dups",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500
+    ),
+    planted AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001)
+      FROM base WHERE vec_id < 50
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    """,
+)
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (LSH buckets + exact verify;
-    rows-only — the sf corpus has no pairs above 0.9, tests synthesize them)."""
+    """Embedding-cosine near-duplicate pairs (LSH buckets + exact verify).
+    The raw sf corpus has no pairs above 0.9, which would make this check
+    vacuous — so the query plants scaled copies (cosine exactly 1, so a
+    scaled copy collides with its original in EVERY hyperplane bucket:
+    recall on planted pairs is structurally 1.0, making the exact-pairs
+    DuckDB oracle a legitimate equality, not a lucky one). The oracle is
+    the O(N²) all-pairs ground truth; the Spark plan stays the bucketed
+    LSH + verify scale path."""
     from .operators.similarity import embedding_near_dups
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(emb, threshold=0.9)
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    return embedding_near_dups(emb.unionByName(copies), threshold=0.9)
 
 
 _LANG_HITS_SQL = {
@@ -1095,8 +1127,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_stats",
     """
     SELECT source,
-           sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS ws_tokens,
-           sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
+           CAST(sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
            count(*) AS n_docs
     FROM documents GROUP BY source
     """,
@@ -1164,7 +1196,8 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens
       FROM kept GROUP BY md5(text)
     )
-    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM deduped GROUP BY source
     """,
 )
@@ -1231,6 +1264,56 @@ def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "split_sized",
+    """
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 13),
+    p AS (SELECT count(*) AS total FROM d),
+    c AS (
+      SELECT total,
+             greatest(1, least(total - 1,
+               CAST(round(total * 0.2::DOUBLE) AS BIGINT))) AS holdout
+      FROM p
+    ),
+    c2 AS (
+      SELECT total, holdout,
+             CASE WHEN holdout > 1
+                  THEN least(holdout - 1, greatest(1,
+                    CAST(round(holdout * (0.1::DOUBLE / 0.2::DOUBLE)) AS BIGINT)))
+                  ELSE 0 END AS val_n
+      FROM c
+    ),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id) AS rn
+      FROM d
+    )
+    SELECT split, count(*) AS n_docs FROM (
+      SELECT CASE WHEN rn <= val_n THEN 'validation'
+                  WHEN rn <= holdout THEN 'test'
+                  ELSE 'train' END AS split
+      FROM ranked, c2
+    ) GROUP BY split
+    """,
+)
+def q_split_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/K4 exact-count split with the reference's tiny-corpus degeneracy
+    contract (utils/dataset_converter.py:112-145): holdout =
+    max(1, min(total-1, round(total·ratio))), train never empty, validation
+    only when the holdout can hold it. Exercised on a 13-doc head of the
+    corpus (the degenerate regime the hash-bucket split can't honor);
+    1/2/3-doc edge cases pinned in tests/test_resume_sinks.py."""
+    from .sinks.export import sized_split
+
+    head = _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(13)
+    return (
+        sized_split(head, key_col="doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 @_q("tsv_span_sink")
 def q_tsv_span_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3: ordered TSV span lines (rows-only: sink format, order-sensitive;
@@ -1254,18 +1337,74 @@ def q_doc_json_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_json_payload(nested, ["spans"])
 
 
-@_q("media_features")
+# Media rows derived from the documents table by a rule both engines can
+# state; the (stubbed) decode is md5-arithmetic, so the ENTIRE media pipeline
+# — derivation → mapInPandas decode → geometry math — is value-checked by
+# DuckDB, not merely row-counted. The extraction-derived media path (spans →
+# media refs) is pinned by tests/test_media_streaming.py.
+_MEDIA_SQL = """
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media://' || source || '/' || CAST(doc_id AS VARCHAR) ||
+           CASE WHEN doc_id % 3 = 0 THEN '.mp4' ELSE '.png' END AS media_ref,
+         CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind
+  FROM documents
+"""
+
+# DuckDB restatement of operators/media._fake_decode (md5-hex byte arithmetic)
+_MEDIA_GEOM_SQL = """
+  SELECT doc_id, media_ref, kind,
+    CAST((64 + (ascii(substr(md5(media_ref),1,1))*256
+              + ascii(substr(md5(media_ref),2,1))) % 1920)
+         * CASE WHEN (ascii(substr(md5(media_ref),1,1))
+                    + ascii(substr(md5(media_ref),2,1))) % 10 = 0
+                THEN 64 ELSE 1 END AS INT) AS width,
+    CAST((64 + (ascii(substr(md5(media_ref),3,1))*256
+              + ascii(substr(md5(media_ref),4,1))) % 1080)
+         * CASE WHEN (ascii(substr(md5(media_ref),1,1))
+                    + ascii(substr(md5(media_ref),2,1))) % 10 = 0
+                THEN 64 ELSE 1 END AS INT) AS height,
+    CAST(CASE WHEN kind = 'image' THEN 1
+              ELSE 1 + (ascii(substr(md5(media_ref),5,1))*256
+                      + ascii(substr(md5(media_ref),6,1))) % 300 END AS INT) AS n_frames
+  FROM media
+"""
+
+
+def _derived_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    return d.select(
+        k.cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("media://"), F.col("source"), F.lit("/"), k.cast("string"),
+            F.when(k % 3 == 0, F.lit(".mp4")).otherwise(F.lit(".png")),
+        ).alias("media_ref"),
+        F.when(k % 3 == 0, F.lit("video")).otherwise(F.lit("image")).alias("kind"),
+    )
+
+
+@_q(
+    "media_features",
+    f"""
+    WITH media AS ({_MEDIA_SQL}), geom AS ({_MEDIA_GEOM_SQL})
+    SELECT doc_id, media_ref, kind, width, height, n_frames,
+           CAST(8 AS INT) AS feature_dim
+    FROM geom
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: media spans → decoded metadata + feature vectors
-    (decode stubbed deterministically — no PIL in container; plumbing real)."""
-    from .operators.extract import extract_spans
+    """Multimodal: media rows → mapInPandas decode → typed metadata.
+    Decode is the disclosed deterministic stub (no PIL in container) chosen
+    to be md5-expressible so the oracle value-checks the geometry; the
+    feature vector stays in the library API (arrays are unhashable for the
+    driver canon) — here its shape is pinned via feature_dim."""
     from .operators.media import extract_media_features
 
-    docs = synth.synthesize_documents(spark, sf_dir)
-    media = extract_spans(docs).filter(F.col("media_ref") != "").select(
-        "doc_id", "media_ref", "kind"
+    feats = extract_media_features(_derived_media(spark, sf_dir))
+    return feats.select(
+        "doc_id", "media_ref", "kind", "width", "height", "n_frames",
+        F.size("feature").alias("feature_dim"),
     )
-    return extract_media_features(media)
 
 
 @_q("streaming_increment")
@@ -1273,8 +1412,10 @@ def q_streaming_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: Structured Streaming incremental extraction — readStream over
     the docs location, per-micro-batch anti-join vs the committed snapshot,
     extract, snapshot commit (availableNow; shares the batch resume path).
-    Returns the committed span table (rows-only: deterministic content,
-    streaming sink layout is engine-specific)."""
+    Returns a LAZY scan of the committed span table: the work dir is
+    session-scoped (cleaned at process exit), never collected to the driver
+    — at scale the committed table is the product, not a driver list."""
+    import atexit
     import shutil
     import tempfile
 
@@ -1282,46 +1423,70 @@ def q_streaming_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.incremental import start_incremental_extraction
 
     work = tempfile.mkdtemp(prefix="stream_inc_")
-    try:
-        docs_path = f"{work}/docs"
-        synth.synthesize_documents(spark, sf_dir).write.parquet(docs_path)
-        q = start_incremental_extraction(
-            spark, docs_path, f"{work}/table", f"{work}/ckpt", num_partitions=8
-        )
-        q.awaitTermination()
-        out = SnapshotTable(spark, f"{work}/table").read_committed()
-        # materialize before the tmp dir vanishes
-        rows = out.select("doc_id", "kind", "text", "media_ref", "offset")
-        return spark.createDataFrame(rows.collect(), rows.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    docs_path = f"{work}/docs"
+    synth.synthesize_documents(spark, sf_dir).write.parquet(docs_path)
+    q = start_incremental_extraction(
+        spark, docs_path, f"{work}/table", f"{work}/ckpt", num_partitions=8
+    )
+    q.awaitTermination()
+    out = SnapshotTable(spark, f"{work}/table").read_committed()
+    return out.select("doc_id", "kind", "text", "media_ref", "offset")
 
 
-@_q("media_frame_sample")
+@_q(
+    "media_frame_sample",
+    f"""
+    WITH media AS ({_MEDIA_SQL}), geom AS ({_MEDIA_GEOM_SQL})
+    SELECT g.doc_id, g.media_ref, CAST(f.fi AS INT) AS frame_idx
+    FROM geom g, LATERAL (
+      SELECT unnest(generate_series(0, g.n_frames - 1, 30)) AS fi
+    ) f
+    WHERE g.n_frames > 1
+    """,
+)
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: video frame-sampling plan (every-Nth-frame explode)."""
-    from .operators.extract import extract_spans
+    """Multimodal: video frame-sampling plan (every-Nth-frame explode,
+    JVM-side sequence — the per-frame decode would be a further kernel)."""
     from .operators.media import extract_media_features, frame_sample_plan
 
-    docs = synth.synthesize_documents(spark, sf_dir)
-    media = extract_spans(docs).filter(F.col("media_ref") != "").select(
-        "doc_id", "media_ref", "kind"
+    feats = extract_media_features(_derived_media(spark, sf_dir))
+    return frame_sample_plan(feats, every_n=30)
+
+
+@_q(
+    "media_resize_plan",
+    f"""
+    WITH media AS ({_MEDIA_SQL}), geom AS ({_MEDIA_GEOM_SQL}),
+    r AS (
+      SELECT *, CAST(width AS DOUBLE) * CAST(height AS DOUBLE) AS pixels,
+             least(178956970.0, 20971520.0 / 3.0) AS cap
+      FROM geom
+    ),
+    h AS (
+      SELECT *, CAST(list_filter(generate_series(0, 30),
+                       x -> pixels <= cap * power(4.0, CAST(x AS DOUBLE)))[1]
+                AS INT) AS halvings
+      FROM r
     )
-    return frame_sample_plan(extract_media_features(media), every_n=30)
-
-
-@_q("media_resize_plan")
+    SELECT doc_id, media_ref, width, height, halvings,
+           CAST(greatest(floor(width * power(2.0, -CAST(halvings AS DOUBLE))), 1) AS INT)
+             AS target_width,
+           CAST(greatest(floor(height * power(2.0, -CAST(halvings AS DOUBLE))), 1) AS INT)
+             AS target_height,
+           halvings > 0 AS needs_resize
+    FROM h
+    """,
+)
 def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: U7 resize-guard geometry (reference annotators/base.py:
-    77-163 iterative halving as closed-form columnar math; rows-only)."""
-    from .operators.extract import extract_spans
+    77-163 iterative halving as closed-form columnar math). The smallest-h
+    search is comparison-only (no transcendental log), so the oracle is
+    value-exact — see operators/media.resize_plan."""
     from .operators.media import extract_media_features, resize_plan
 
-    docs = synth.synthesize_documents(spark, sf_dir)
-    media = extract_spans(docs).filter(F.col("media_ref") != "").select(
-        "doc_id", "media_ref", "kind"
-    )
-    return resize_plan(extract_media_features(media)).select(
+    feats = extract_media_features(_derived_media(spark, sf_dir))
+    return resize_plan(feats).select(
         "doc_id", "media_ref", "width", "height",
         "halvings", "target_width", "target_height", "needs_resize",
     )

@@ -69,6 +69,48 @@ def split_column(
     )
 
 
+def sized_split(
+    df: DataFrame, key_col: str = "doc_id",
+    train: float = 0.8, test: float = 0.1, validation: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """O4 small-corpus path: exact-count split with the reference's
+    degeneracy contract (utils/dataset_converter.py:112-145):
+
+    - total < 2, or holdout ratio ∉ (0,1) → everything 'train';
+    - holdout count = max(1, min(total-1, round(total·(test+validation))))
+      → train is NEVER empty, holdout never whole;
+    - validation carved from holdout only when both ratios > 0 AND the
+      holdout has > 1 row (reference: len(test split) > 1 gate).
+
+    Membership = deterministic rank by md5(key#seed): stable under
+    re-partitioning and re-runs (HF bit-parity explicitly waived, SURVEY
+    §7.3 — same waiver as ``split_column``). The global rank window means
+    one single-task sort: this is the SMALL-corpus contract path (the
+    reference's own split materializes the corpus in memory); at scale use
+    ``split_column``'s hash buckets, which need no count.
+    """
+    total = df.count()
+    holdout_ratio = test + validation
+    if total < 2 or holdout_ratio <= 0 or holdout_ratio >= 1:
+        return df.withColumn("split", F.lit("train"))
+    holdout = max(1, min(total - 1, round(total * holdout_ratio)))
+    val_n = 0
+    if validation > 0 and test > 0 and holdout > 1:
+        val_n = min(holdout - 1, max(1, round(holdout * validation / holdout_ratio)))
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    w = Window.orderBy(F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}"))), key)
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        "split",
+        F.when(rn <= F.lit(val_n), "validation")
+        .when(rn <= F.lit(holdout), "test")
+        .otherwise("train"),
+    )
+
+
 def write_split_parquet(
     df: DataFrame, path: str, key_col: str = "doc_id",
     train: float = 0.8, test: float = 0.1, seed: int = 42,

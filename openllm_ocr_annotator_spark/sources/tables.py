@@ -41,7 +41,10 @@ class _HadoopFS:
         self.fs = self._Path(root).getFileSystem(sc._jsc.hadoopConfiguration())
 
     def mkdirs(self, path: str) -> None:
-        self.fs.mkdirs(self._Path(path))
+        # Hadoop FS returns booleans instead of raising — a silently failed
+        # mkdirs/rename would lose the commit while commit() still returns.
+        if not self.fs.mkdirs(self._Path(path)):
+            raise IOError(f"mkdirs failed: {path}")
 
     def list_json(self, dirpath: str) -> list[str]:
         """Full paths of *.json children, sorted by file name."""
@@ -68,7 +71,11 @@ class _HadoopFS:
             out.write(bytearray(json.dumps(obj), "utf-8"))
         finally:
             out.close()
-        self.fs.rename(self._Path(tmp), self._Path(final))
+        # THE commit point of the snapshot contract: rename returns False on
+        # failure (it does not raise) — must surface as an error, or a lost
+        # manifest would be reported as a successful commit.
+        if not self.fs.rename(self._Path(tmp), self._Path(final)):
+            raise IOError(f"commit rename failed: {tmp} -> {final}")
 
 
 class SnapshotTable:

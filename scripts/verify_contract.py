@@ -54,16 +54,55 @@ def canon(rows, cols):
     return sorted(out)
 
 
+def _norm_spark_type(t: str) -> str:
+    """Spark simpleString dtype → canonical family name."""
+    return {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+        "boolean": "bool", "string": "string", "date": "date",
+        "timestamp": "timestamp",
+    }.get(t, t)
+
+
+def _norm_arrow_type(t) -> str:
+    """pyarrow dtype (from DuckDB .arrow()) → canonical family name."""
+    s = str(t)
+    return {
+        "int8": "int8", "int16": "int16", "int32": "int32",
+        "int64": "int64", "float": "float32", "float32": "float32",
+        "double": "float64", "float64": "float64", "bool": "bool",
+        "string": "string", "large_string": "string", "date32[day]": "date",
+    }.get(s, s)
+
+
+def check_dtypes(name, sdf, arrow_tbl, fails) -> bool:
+    """The driver hash-compares typed values: DuckDB HUGEINT (SUM of ints)
+    or DECIMAL leaking where Spark emits BIGINT/DOUBLE must FAIL here even
+    though Python repr of the collected values is identical."""
+    stypes = {c: _norm_spark_type(t) for c, t in sdf.dtypes}
+    ok = True
+    for field in arrow_tbl.schema:
+        ot = _norm_arrow_type(field.type)
+        st = stypes.get(field.name)
+        if st is not None and ot != st:
+            fails.append((name, f"dtype[{field.name}]: oracle {ot} vs spark {st}"))
+            ok = False
+    return ok
+
+
 fails = []
 for name, sql in m.oracle_sql().items():
     sdf = m.queries()[name](spark, SF_DIR)
     cols = sorted(sdf.columns)
     srows = [row.asDict() for row in sdf.collect()]
-    ocur = con.execute(sql)
-    ocols = [d[0] for d in ocur.description]
-    orows = [dict(zip(ocols, rec)) for rec in ocur.fetchall()]
+    otbl = con.execute(sql).arrow()
+    ocols = list(otbl.schema.names)
+    orows = otbl.to_pylist()
     if sorted(ocols) != cols:
         fails.append((name, f"cols {cols} vs {sorted(ocols)}"))
+        continue
+    if not check_dtypes(name, sdf, otbl, fails):
+        print(f"{name:28s} DTYPE-MISMATCH")
         continue
     a, b = canon(srows, cols), canon(orows, cols)
     status = "OK" if a == b else "MISMATCH"

@@ -75,3 +75,45 @@ partitions: 4
 """)
     out = main(["--config", cfg, "--master", "local[4]"])
     assert out["committed_spans"] > 0
+
+
+def test_defaults_composition_merges_in_order(tmp_path):
+    """Hydra-style defaults composition (reference config_manager.py:214-227):
+    listed files merge first (later wins), the including file wins last,
+    nested mappings deep-merge, unknown keys still rejected post-merge."""
+    from openllm_ocr_annotator_spark.config import load_config
+
+    (tmp_path / "base.yaml").write_text(
+        "input_path: /base/in\ntable_root: /base/table\n"
+        "voter:\n  method: majority\n  num_samples: 3\n"
+    )
+    (tmp_path / "site.yaml").write_text(
+        "voter:\n  method: weighted\n  weights: {a: 2.0}\n"
+    )
+    (tmp_path / "job.yaml").write_text(
+        "defaults: [base.yaml, site.yaml]\ninput_path: /job/in\n"
+    )
+    cfg = load_config(str(tmp_path / "job.yaml"))
+    assert cfg.input_path == "/job/in"          # own file wins last
+    assert cfg.table_root == "/base/table"      # inherited from base
+    assert cfg.voter.method == "weighted"       # site overrides base
+    assert cfg.voter.num_samples == 3           # deep-merge keeps base leaf
+    assert cfg.voter.weights == {"a": 2.0}
+
+
+def test_defaults_cycle_and_unknown_key_rejected(tmp_path):
+    import pytest
+
+    from openllm_ocr_annotator_spark.config import load_config
+
+    (tmp_path / "a.yaml").write_text("defaults: [b.yaml]\n")
+    (tmp_path / "b.yaml").write_text("defaults: [a.yaml]\n")
+    with pytest.raises(ValueError, match="cycle"):
+        load_config(str(tmp_path / "a.yaml"))
+
+    (tmp_path / "base2.yaml").write_text("bogus_key: 1\n")
+    (tmp_path / "job2.yaml").write_text(
+        "defaults: [base2.yaml]\ninput_path: /x\ntable_root: /y\n"
+    )
+    with pytest.raises(ValueError, match="unknown config key"):
+        load_config(str(tmp_path / "job2.yaml"))

@@ -239,3 +239,33 @@ def test_ensemble_extract_consensus(spark):
     assert strict_differs > 0 and agrees > 0
     docs.unpersist()
     out.unpersist()
+
+
+def test_null_offset_vs_zero_tie_narrow_equals_wide(spark):
+    """A NULL-offset span must TIE with an offset-0 sibling exactly like the
+    narrow kernel's coercion (`offs[j] or 0`), not sort NULLS FIRST —
+    ordering equivalence depends on the wide path's coalesced sort keys."""
+    from openllm_ocr_annotator_spark.operators.extract import (
+        extract_spans,
+        extract_spans_wide,
+    )
+    from openllm_ocr_annotator_spark.synth import DOCUMENTS_SCHEMA
+
+    rows = [
+        (
+            "doc_null_tie",
+            [
+                # offset-0 'text' sorts before NULL-offset 'text' only via the
+                # pos tie-break after coalescing — NULLS FIRST would flip them
+                {"kind": "text", "text": "zeroth span content", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "null offset content", "media_ref": "", "offset": None},
+                {"kind": "image", "text": "", "media_ref": "s3://x/a.png", "offset": None},
+                {"kind": "image", "text": "", "media_ref": "s3://x/b.png", "offset": 0},
+            ],
+        ),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    narrow = [tuple(r) for r in extract_spans(docs).orderBy("offset").collect()]
+    wide = [tuple(r) for r in extract_spans_wide(docs).orderBy("offset").collect()]
+    assert narrow == wide
+    assert len(narrow) >= 3

@@ -112,3 +112,76 @@ def test_resize_plan_guard_arithmetic(spark):
         min_h = math.ceil(math.log(w * h / cap, 4))
         assert r.halvings == min_h
         assert r.target_width == int(w / 2**min_h)
+
+
+def test_media_payload_column_fake_fallback(spark):
+    """Without PIL the kernel must fall back to the md5 fake even when a
+    payload column is present — same geometry as the ref-only path."""
+    from openllm_ocr_annotator_spark.operators.media import (
+        HAS_PIL,
+        extract_media_features,
+    )
+
+    rows = [("d1", "ref://a.png", "image"), ("d2", "ref://b.mp4", "video")]
+    bare = spark.createDataFrame(rows, "doc_id string, media_ref string, kind string")
+    with_payload = bare.withColumn("payload", F.lit(None).cast("binary"))
+    a = {r.media_ref: (r.width, r.height, r.n_frames)
+         for r in extract_media_features(bare).collect()}
+    b = {r.media_ref: (r.width, r.height, r.n_frames)
+         for r in extract_media_features(with_payload).collect()}
+    # NULL payloads always fall back to the fake; without PIL so does everything
+    assert a == b
+    if not HAS_PIL:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="NotImplementedError|media decode"):
+            extract_media_features(with_payload, strict=True).collect()
+
+
+def test_media_real_decode_with_pil(spark):
+    """Real decode path: geometry comes from actual bytes (PIL), the fake
+    only covers NULL payloads. Skipped where PIL is absent."""
+    import pytest as _pytest
+
+    from openllm_ocr_annotator_spark.operators.media import (
+        HAS_PIL,
+        extract_media_features,
+    )
+
+    if not HAS_PIL:
+        _pytest.skip("PIL not available in this container")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (123, 45)).save(buf, format="PNG")
+    rows = [("d1", "ref://real.png", "image", bytearray(buf.getvalue()))]
+    df = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, kind string, payload binary"
+    )
+    got = extract_media_features(df).collect()[0]
+    assert (got.width, got.height, got.n_frames) == (123, 45, 1)
+
+
+def test_resize_guard_triggers_on_mega_frames(spark):
+    """The md5 fake upscales ~1-in-10 frames 64× per side so the resize
+    guard is actually exercised (not vacuously all-pass) — and the halvings
+    found by comparison-filter are minimal."""
+    from openllm_ocr_annotator_spark.operators.media import (
+        MAX_BYTES,
+        MAX_PIXELS,
+        extract_media_features,
+        resize_plan,
+    )
+
+    refs = [(f"d{i}", f"media://src/{i}.png", "image") for i in range(300)]
+    media = spark.createDataFrame(refs, "doc_id string, media_ref string, kind string")
+    plan = resize_plan(extract_media_features(media)).collect()
+    hit = [r for r in plan if r.needs_resize]
+    assert hit, "mega-frame rule must fire on a 300-ref sample"
+    cap = min(MAX_PIXELS, MAX_BYTES / 3.0)
+    for r in hit:
+        assert r.target_width * r.target_height <= cap
+        # minimality: one fewer halving would NOT fit
+        assert r.width * r.height / 4 ** (r.halvings - 1) > cap

@@ -129,3 +129,74 @@ def test_snapshot_table_accepts_uri_scheme_root(spark, tmp_path):
     )
     assert remaining.count() == 3
     assert table.latest()["n_rows"] == 5
+
+
+def test_sized_split_degeneracy_contract(spark):
+    """The reference pins holdout = max(1, min(total-1, round(total*ratio)))
+    and collapses to train-only for degenerate corpora
+    (utils/dataset_converter.py:112-145). A pure hash bucket can leave a
+    3-doc corpus with an empty train split — sized_split must not."""
+    from openllm_ocr_annotator_spark.sinks.export import sized_split
+
+    def splits(n):
+        df = spark.range(n).selectExpr("CAST(id AS STRING) AS doc_id")
+        rows = sized_split(df, key_col="doc_id").collect()
+        out = {}
+        for r in rows:
+            out[r.split] = out.get(r.split, 0) + 1
+        return out
+
+    assert splits(1) == {"train": 1}                      # total < 2 → train-only
+    assert splits(2) == {"train": 1, "test": 1}           # holdout=1, no val room
+    assert splits(3) == {"train": 2, "test": 1}           # round(0.6)→1
+    s13 = splits(13)                                       # round(2.6)→3, val=round(1.5)→2
+    assert s13 == {"train": 10, "test": 1, "validation": 2}
+    assert sum(s13.values()) == 13
+
+    # ratio degeneracy: holdout ratio 0 or ≥1 → train-only
+    df5 = spark.range(5).selectExpr("CAST(id AS STRING) AS doc_id")
+    only_train = sized_split(df5, key_col="doc_id", train=1.0, test=0.0, validation=0.0)
+    assert {r.split for r in only_train.collect()} == {"train"}
+    all_holdout = sized_split(df5, key_col="doc_id", train=0.0, test=0.5, validation=0.5)
+    assert {r.split for r in all_holdout.collect()} == {"train"}
+
+    # determinism: same input → identical assignment
+    df = spark.range(20).selectExpr("CAST(id AS STRING) AS doc_id")
+    a = {(r.doc_id, r.split) for r in sized_split(df, key_col="doc_id").collect()}
+    b = {(r.doc_id, r.split) for r in sized_split(df, key_col="doc_id").collect()}
+    assert a == b
+
+
+def test_sampling_markdown_report_structure(spark):
+    """K5 sampling report mirrors the reference's sections, labels, and
+    {:.2%} formatting (evaluators/sampling_evaluator.py:176-204)."""
+    from openllm_ocr_annotator_spark.operators.evaluate import (
+        sampling_markdown_report,
+        sampling_stats,
+    )
+
+    rows = [
+        # doc, sample, field, correct
+        ("d1", 0, "f0", True), ("d1", 0, "f1", False),   # acc .5
+        ("d1", 1, "f0", True), ("d1", 1, "f1", True),    # acc 1.0, exact
+        ("d2", 0, "f0", False), ("d2", 0, "f1", False),  # acc 0
+        ("d2", 1, "f0", True), ("d2", 1, "f1", False),   # acc .5
+    ]
+    ev = spark.createDataFrame(
+        rows, "doc_id string, sample_id int, field_name string, correct boolean"
+    )
+    report = sampling_markdown_report(sampling_stats(ev), num_samples=2)
+    lines = report.splitlines()
+    assert lines[0] == "# Sampling Evaluation Report"
+    assert "## Overall Statistics" in lines
+    assert "## Sampling Effectiveness" in lines
+    # d1 mean .75 max 1.0 any-exact; d2 mean .25 max .5 no-exact
+    assert "- Mean Accuracy: 50.00%" in report
+    assert "- Best Sample Accuracy: 75.00%" in report
+    assert "- Exact Match Rate: 50.00%" in report
+    assert "- Total Images Evaluated: 2" in report
+    assert "- Samples per Image: 2" in report
+    # per-doc gaps: d1 1.0-.75=.25, d2 .5-.25=.25
+    assert "- Mean Improvement: 25.00%" in report
+    assert "- Max Improvement: 25.00%" in report
+    assert "- Min Improvement: 25.00%" in report
