@@ -113,8 +113,13 @@ def main() -> None:
             "dedup_ngram_jaccard",
             "similarity_topk",
             "similarity_lsh_topk",
+            "embedding_near_dups",
             "text_quality",
             "text_token_stats",
+            "corpus_curation",
+            "pack_sequences",
+            "media_features",
+            "ensemble_extract",
             "split_assignment",
         ]:
             best = float("inf")

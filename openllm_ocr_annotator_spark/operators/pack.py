@@ -1,0 +1,76 @@
+"""Training-shard assembly: sequence packing + corpus profiling.
+
+Not in the reference (its export unit is one JSON per document) — added as
+first-class engine capability for the 100 TB training-data case, where the
+export unit is a token-budgeted shard, not a file per doc:
+
+- ``pack_sequences``: contiguous greedy packing — within each stream
+  (default: ``source``), documents are taken in deterministic ``doc_id``
+  order and appended to the current pack until the cumulative token count
+  crosses the budget, then a new pack starts. Expressed as ONE window
+  cumulative sum (map-side partial agg + a single hash exchange on the
+  stream key): pack_id = floor((cumsum - tokens) / budget), i.e. a pack
+  ends when the running total crosses a budget boundary (the crossing doc
+  overflows its pack rather than splitting — whole docs only, the same
+  contract most LLM pretraining packers use for document-atomic packing).
+- ``corpus_profile``: per-source corpus statistics (count, token/char sums,
+  mean/min/max/median) — the profiling pass every curation run starts with.
+
+Scale: both are single-exchange window/agg plans keyed by the stream
+column. Packing is per-stream sequential BY DEFINITION (a pack is a
+contiguous run), so parallelism = number of streams; at 10^12 docs you run
+it per (source, shard-prefix of doc_id) to bound stream length — the
+stream key is a parameter for exactly that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document a pack_id within its stream (greedy, in order).
+
+    Input: one row per document with a precomputed token count.
+    Output: input columns + ``pack_id`` (0-based within stream).
+    """
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    cum = F.sum(F.col(token_col)).over(w)
+    pack_id = F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long")
+    return docs.withColumn("pack_id", pack_id)
+
+
+def pack_summary(packed: DataFrame, stream_col: str = "source",
+                 token_col: str = "n_tokens") -> DataFrame:
+    """(stream, pack_id) → document count + token fill level."""
+    return packed.groupBy(stream_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("long").alias("pack_tokens"),
+    )
+
+
+def corpus_profile(docs: DataFrame, group_col: str = "source",
+                   chars_col: str = "n_chars") -> DataFrame:
+    """Per-group corpus statistics: the curation-run profiling pass.
+
+    Exact median on purpose (one-pass partial agg for the rest, a
+    sort-based exact percentile for the median): profiling runs on samples
+    or per-partition at 100 TB; approx_percentile is the knob to swap in
+    when exactness stops mattering, noted here rather than silently chosen.
+    """
+    c = F.col(chars_col).cast("double")
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chars_col).cast("long").alias("total_chars"),
+        F.round(F.avg(c), 6).alias("mean_chars"),
+        F.min(chars_col).alias("min_chars"),
+        F.max(chars_col).alias("max_chars"),
+        F.round(F.median(c), 6).alias("median_chars"),
+    )

@@ -1231,6 +1231,61 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / 256.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT source, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assembly: contiguous greedy packing of documents into
+    256-token packs per source stream (small budget so sf0.01 exercises multiple boundary crossings per stream) (operators/pack.py — one window
+    cumsum, single exchange on the stream key; whole docs, crossing doc
+    overflows its pack)."""
+    from .functions.text import token_count_ws
+    from .operators.pack import pack_sequences, pack_summary
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_summary(pack_sequences(docs, budget=256))
+
+
+@_q(
+    "corpus_profile",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(median(CAST(n_chars AS DOUBLE)), 6) AS median_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics (count/sum/mean/min/max/exact median) —
+    the profiling pass every curation run starts with (operators/pack.py)."""
+    from .operators.pack import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Sinks / splits / media plumbing (K1-K4, O4, §multimodal).
 # ---------------------------------------------------------------------------

@@ -46,3 +46,47 @@ def test_vocab_fingerprint_order_insensitive(spark):
     fps = [r.fp for r in df.select(TX.vocab_fingerprint(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_pack_sequences_greedy_contract(spark):
+    """Contiguous greedy packing: docs in order fill a pack until the
+    cumulative crosses the budget; the crossing doc overflows (whole docs,
+    never split); packs are per-stream."""
+    from openllm_ocr_annotator_spark.operators.pack import (
+        pack_sequences,
+        pack_summary,
+    )
+
+    rows = [
+        ("a", "d1", 600), ("a", "d2", 600), ("a", "d3", 600),  # 600,1200,1800
+        ("a", "d4", 600),                                       # 2400 → crosses
+        ("a", "d5", 600),
+        ("b", "d1", 3000),                                      # oversized doc
+        ("b", "d2", 10),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id string, n_tokens long")
+    got = {(r.source, r.doc_id): r.pack_id
+           for r in pack_sequences(docs, budget=2048).collect()}
+    # pack_id = floor(cumsum_exclusive / budget)
+    assert got[("a", "d1")] == 0 and got[("a", "d2")] == 0 and got[("a", "d3")] == 0
+    assert got[("a", "d4")] == 0      # starts at 1800 < 2048 → overflows pack 0
+    assert got[("a", "d5")] == 1      # starts at 2400
+    assert got[("b", "d1")] == 0      # oversized doc gets its own pack start
+    assert got[("b", "d2")] == 1
+    summary = {(r.source, r.pack_id): (r.n_docs, r.pack_tokens)
+               for r in pack_summary(pack_sequences(docs, budget=2048)).collect()}
+    assert summary[("a", 0)] == (4, 2400)
+    assert summary[("b", 0)] == (1, 3000)
+
+
+def test_corpus_profile_exact_stats(spark):
+    from openllm_ocr_annotator_spark.operators.pack import corpus_profile
+
+    rows = [("a", 10), ("a", 20), ("a", 40), ("a", 50), ("b", 7)]
+    docs = spark.createDataFrame(rows, "source string, n_chars int")
+    got = {r.source: r for r in corpus_profile(docs).collect()}
+    assert got["a"].n_docs == 4 and got["a"].total_chars == 120
+    assert got["a"].mean_chars == 30.0
+    assert got["a"].median_chars == 30.0  # interpolated even-count median
+    assert (got["a"].min_chars, got["a"].max_chars) == (10, 50)
+    assert got["b"].median_chars == 7.0
