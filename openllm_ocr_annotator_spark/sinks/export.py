@@ -48,6 +48,36 @@ def write_tsv_spans(extracted: DataFrame, path: str, mode: str = "overwrite") ->
     tsv_span_lines(extracted).write.mode(mode).text(path)
 
 
+def write_bucketed_table(
+    df: DataFrame, table_name: str, buckets: int = 64,
+    key_col: str = "doc_id", path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and sorted) by the join key.
+
+    The 100 TB lever for the recurring doc-keyed joins (gt⋈pred evaluation,
+    annotation fan-in, resume anti-join): two tables bucketed by the same
+    key with the same bucket count join with NO exchange and NO sort —
+    hash-partitioning on doc_id satisfies any join whose keys include it.
+    Shuffle-free co-location is pinned by
+    tests/test_plan_shapes.py::test_bucketed_join_is_shuffle_free.
+
+    Note: the sort-elimination half additionally needs
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (Spark ≥3.0
+    gates sorted-bucket scan ordering; the exchange elimination — the
+    expensive part at scale — needs no flag).
+    """
+    # one writer task per bucket → exactly one file per bucket: scans read
+    # each bucket pre-sorted (no Sort before the merge join) and the small-
+    # files problem is avoided; repartition's Murmur3 hash matches the
+    # bucketing hash, so every task holds exactly one bucket's rows.
+    out = df.repartition(buckets, F.col(key_col))
+    w = out.write.mode(mode).format("parquet").bucketBy(buckets, key_col).sortBy(key_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
 def split_bucket(key: Column, seed: int = 42) -> Column:
     """Deterministic 0..99 bucket from a key (engine-portable: md5 + ascii
     arithmetic, reproducible in any SQL dialect for oracles)."""

@@ -151,3 +151,45 @@ def test_split_parquet_partition_pruning(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(out) if d.startswith("split=")
     ) == ["split=test", "split=train", "split=validation"]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on doc_id with equal bucket counts must join
+    with NO exchange (and no sort — bucket files are sorted): the
+    co-location strategy for the engine's recurring doc-keyed joins
+    (evaluation gt⋈pred, annotation fan-in) at 100 TB."""
+    from openllm_ocr_annotator_spark.sinks.export import write_bucketed_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    gt = docs.selectExpr("doc_id", "source AS value")
+    pred = docs.selectExpr("doc_id", "lang AS value")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_table(gt, "gt_b", buckets=4, path=str(tmp_path / "gt"))
+        write_bucketed_table(pred, "pred_b", buckets=4, path=str(tmp_path / "pred"))
+        # at sf0.001 the planner would broadcast by size; the 100 TB case is
+        # the SMJ path — force it to inspect co-location behavior
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("gt_b").join(spark.table("pred_b"), "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "Bucketed: true" in plan
+        # sorted-bucket scan ordering is gated since Spark 3.0 behind the
+        # legacy flag (sortBy files stay sorted on disk either way); with it
+        # on and one file per bucket (write_bucketed_table guarantees that),
+        # the per-bucket Sort disappears too
+        import re
+
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        plan2 = _plan(
+            spark.table("gt_b").join(spark.table("pred_b"), "doc_id")
+        )
+        assert not re.search(r"^\(\d+\) Sort\b", plan2, flags=re.M), (
+            "one-file-per-bucket sortBy'd buckets must not re-sort"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+        spark.sql("DROP TABLE IF EXISTS gt_b")
+        spark.sql("DROP TABLE IF EXISTS pred_b")
