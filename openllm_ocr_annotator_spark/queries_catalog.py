@@ -1462,6 +1462,40 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "windowed_rollup",
+    """
+    WITH b AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 * 1000000)
+               AS ws,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM b GROUP BY ws, event_type
+    """,
+)
+def q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time rollup — the BATCH twin of the watermarked
+    streaming aggregation (streaming/windowed.py shares this exact
+    definition, so the streamed result is oracle-checked transitively:
+    tests pin streamed ≡ batch, this query pins batch ≡ SQL)."""
+    from .streaming.windowed import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, window="10 minutes", watermark="30 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        F.date_format("window_start", fmt).alias("window_start"),
+        F.date_format("window_end", fmt).alias("window_end"),
+        "event_type", "n_events", "total_value",
+    )
+
+
 @_q("streaming_increment")
 def q_streaming_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: Structured Streaming incremental extraction — readStream over

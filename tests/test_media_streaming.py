@@ -185,3 +185,60 @@ def test_resize_guard_triggers_on_mega_frames(spark):
         assert r.target_width * r.target_height <= cap
         # minimality: one fewer halving would NOT fit
         assert r.width * r.height / 4 ** (r.halvings - 1) > cap
+
+
+def test_windowed_aggregation_finalizes_and_drops_late(spark, tmp_path):
+    """Watermarked tumbling windows: (a) every finalized window the stream
+    emits equals the batch twin computed on the on-time data; (b) an event
+    arriving later than the watermark delay is DROPPED (bounded state), so
+    its window keeps the on-time counts."""
+    from openllm_ocr_annotator_spark.streaming.windowed import (
+        start_windowed_aggregation,
+        windowed_event_counts,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .orderBy("ts")
+        .limit(2000)
+        .cache()
+    )
+    rows = ev.collect()
+    n = len(rows)
+    assert n > 100
+    quarters = [rows[: n // 4], rows[n // 4 : n // 2], rows[n // 2 : 3 * n // 4],
+                rows[3 * n // 4 :]]
+    # a late straggler: re-deliver the OLDEST event in the LAST file — by
+    # then the watermark has advanced hours past its window
+    late = [rows[0]]
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    for i, chunk in enumerate(quarters + [late]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(in_dir / f"chunk_{i}.parquet")
+        )
+
+    out = str(tmp_path / "agg_out")
+    q = start_windowed_aggregation(
+        spark, f"{in_dir}/chunk_*.parquet", out, str(tmp_path / "ckpt"),
+        window="10 minutes", watermark="30 minutes",
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed, "watermark progression must finalize some windows"
+
+    batch_on_time = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_counts(ev).collect()
+    }
+    # (a) every emitted window matches the on-time batch twin exactly —
+    # which simultaneously proves (b): the late re-delivery (which would
+    # bump its window's count by 1) was dropped
+    for k, v in streamed.items():
+        assert batch_on_time[k] == v, f"window {k}: stream {v} vs batch {batch_on_time[k]}"
+    # the stream must NOT have emitted more windows than exist
+    assert set(streamed) <= set(batch_on_time)
