@@ -1496,6 +1496,50 @@ def q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via the built-in
+    ``session_window`` — merging/variable-length event-time windows, the
+    stateful-aggregation shape a monitoring pipeline needs beyond tumbling
+    windows. The oracle restates it as gaps-and-islands SQL (lag → island
+    cumsum), pinning Spark's merge semantics (a gap of exactly the timeout
+    starts a new session; session end = last event + gap)."""
+    from .streaming.windowed import session_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_event_counts(ev, gap="30 minutes", watermark="30 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events", "total_value",
+    )
+
+
 @_q("streaming_increment")
 def q_streaming_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: Structured Streaming incremental extraction — readStream over

@@ -62,6 +62,62 @@ def windowed_event_counts(
     )
 
 
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session windows (inactivity gap): merging variable-length
+    event-time windows via the built-in ``session_window`` — Spark's
+    stateful session aggregation, identical on batch and stream. Session
+    end = last event + gap; a gap of exactly the timeout starts a new
+    session (pinned by the gaps-and-islands oracle of driver query
+    ``sessionize``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def start_sessionization(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming sessionization: sessions finalize (append emission) once
+    the watermark passes their end — in-flight sessions keep merging state
+    until then, which is exactly the bounded-state trade-off of
+    ``start_windowed_aggregation``."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_path)
+    )
+    agg = session_event_counts(stream, gap, watermark)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_windowed_aggregation(
     spark: SparkSession,
     events_path: str,

@@ -242,3 +242,48 @@ def test_windowed_aggregation_finalizes_and_drops_late(spark, tmp_path):
         assert batch_on_time[k] == v, f"window {k}: stream {v} vs batch {batch_on_time[k]}"
     # the stream must NOT have emitted more windows than exist
     assert set(streamed) <= set(batch_on_time)
+
+
+def test_streaming_sessionization_matches_batch_twin(spark, tmp_path):
+    """Streaming session windows: every finalized session the stream emits
+    equals the batch twin (same shared definition)."""
+    from openllm_ocr_annotator_spark.streaming.windowed import (
+        session_event_counts,
+        start_sessionization,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .orderBy("ts")
+        .limit(1200)
+        .cache()
+    )
+    rows = ev.collect()
+    n = len(rows)
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(in_dir / f"chunk_{i}.parquet")
+        )
+
+    out = str(tmp_path / "sess_out")
+    q = start_sessionization(
+        spark, f"{in_dir}/chunk_*.parquet", out, str(tmp_path / "sess_ckpt"),
+        gap="30 minutes", watermark="30 minutes",
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed, "watermark progression must finalize some sessions"
+    batch = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in session_event_counts(ev).collect()
+    }
+    for k, v in streamed.items():
+        assert batch[k] == v
+    assert set(streamed) <= set(batch)
