@@ -72,3 +72,25 @@ def test_json_brace_scan_never_crashes(s):
         import json
 
         json.loads(out)  # whatever it returns must be valid JSON
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.text(alphabet=st.sampled_from(list("ab c")), max_size=60), max_size=8),
+    st.integers(min_value=1, max_value=37),
+)
+def test_minhash_slab_size_never_changes_signatures(texts, slab):
+    """The slab-bounded batch minhash must be bit-identical to the per-doc
+    kernel for EVERY slab size — the memory bound cannot change results."""
+    import numpy as np
+
+    from openllm_ocr_annotator_spark.kernel import dedup as K
+
+    allsh, counts = K.shingle_hashes_batch(texts, 3)
+    a, b = K.perm_params(16)
+    got = K.minhash_signatures_batch(allsh, counts, a, b, slab=slab)
+    expected = (
+        np.stack([K.minhash_signature(K.shingle_hashes(t, 3), a, b) for t in texts])
+        if texts else np.empty((0, 16), dtype=np.uint64)
+    )
+    assert np.array_equal(got, expected)
