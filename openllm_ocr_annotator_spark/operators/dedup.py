@@ -92,7 +92,11 @@ def ngram_jaccard_pairs(
     this mode's exact-all-gram contract (the role PLANS.md assigns it).
     The gram relation is persisted: it feeds three subtrees (sizes + both
     sides of the self-join) and recomputing the explode 3× was ~10% of
-    suite wall-time.
+    suite wall-time. The cache lives until Spark LRU-evicts it (short-lived
+    driver sessions — the common case — never notice); long-lived drivers
+    can release it explicitly via the ``cached_deps`` attribute on the
+    returned DataFrame (``for d in out.cached_deps: d.unpersist()``) once
+    the result has been consumed.
     """
     from pyspark import StorageLevel
 
@@ -122,7 +126,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -132,6 +136,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    out.cached_deps = [grams]
+    return out
 
 
 def minhash_signatures(

@@ -121,13 +121,30 @@ def sampling_markdown_report(per_doc_sampling: DataFrame, num_samples: int) -> s
 
     ``per_doc_sampling``: output of :func:`sampling_stats`.
     """
-    overall = per_doc_sampling.agg(
+    # one action, not two: both rollups are global single-row aggregates, so
+    # compute them in a single agg pass instead of re-running the upstream
+    # sampling aggregation per section
+    gap = F.col("max_accuracy") - F.col("mean_accuracy")
+    row = per_doc_sampling.agg(
         F.avg("mean_accuracy").alias("mean_accuracy"),
         F.avg("max_accuracy").alias("max_accuracy"),
         F.avg(F.col("any_exact_match").cast("double")).alias("exact_match_rate"),
         F.count(F.lit(1)).alias("n_docs"),
+        F.avg(gap).alias("mean_improvement"),
+        F.max(gap).alias("max_improvement"),
+        F.min(gap).alias("min_improvement"),
     ).first()
-    eff = sampling_effectiveness(per_doc_sampling).first()
+    if row.n_docs == 0:
+        # avg-over-empty is NULL — an empty evaluation still gets a report
+        return "\n".join(
+            [
+                "# Sampling Evaluation Report\n",
+                "## Overall Statistics",
+                "- Total Images Evaluated: 0",
+                f"- Samples per Image: {num_samples}\n",
+            ]
+        )
+    overall = eff = row
     report = [
         "# Sampling Evaluation Report\n",
         "## Overall Statistics",

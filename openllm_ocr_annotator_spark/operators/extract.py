@@ -283,7 +283,9 @@ def ensemble_extract(
     hash-aggs + one window — no per-leg driver round-trips. The union is
     persisted (memory-and-disk) because it is consumed twice — by the digest
     aggregation and by the winner join; without it each leg's kernel (the
-    most expensive stage in the engine) would run 2×.
+    most expensive stage in the engine) would run 2×. The cache lives until
+    Spark LRU-evicts it; long-lived drivers can release it via the
+    ``cached_deps`` attribute on the returned DataFrame once consumed.
     """
     from pyspark import StorageLevel
 
@@ -322,9 +324,11 @@ def ensemble_extract(
             (F.col("score") / F.col("_total")).alias("consensus_weight"),
         )
     )
-    return tagged.join(winners, ["doc_id", "leg"]).select(
+    out = tagged.join(winners, ["doc_id", "leg"]).select(
         "doc_id", "kind", "text", "media_ref", "offset", "consensus_weight"
     )
+    out.cached_deps = [tagged]
+    return out
 
 
 def renest_spans(extracted: DataFrame) -> DataFrame:

@@ -110,6 +110,12 @@ def extract_media_features(media_rows: DataFrame, strict: bool = False) -> DataF
             )
         for pdf in batches:
             if use_real:
+                if strict and pdf["payload"].isna().any():
+                    # strict means NO fabricated geometry, per-row included:
+                    # a NULL payload (fetch failure) must fail loudly, not
+                    # silently fall back to the md5 fake
+                    bad = pdf.loc[pdf["payload"].isna(), "media_ref"].iloc[0]
+                    raise ValueError(f"strict media decode: NULL payload for {bad!r}")
                 meta = [
                     _pil_decode(p, k) if p is not None else _fake_decode(r, k)
                     for r, k, p in zip(pdf["media_ref"], pdf["kind"], pdf["payload"])

@@ -1334,7 +1334,7 @@ def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT total, holdout,
              CASE WHEN holdout > 1
                   THEN least(holdout - 1, greatest(1,
-                    CAST(round(holdout * (0.1::DOUBLE / 0.2::DOUBLE)) AS BIGINT)))
+                    CAST(floor(holdout * (0.1::DOUBLE / 0.2::DOUBLE) + 0.5) AS BIGINT)))
                   ELSE 0 END AS val_n
       FROM c
     ),

@@ -110,8 +110,16 @@ def sized_split(
     - total < 2, or holdout ratio ∉ (0,1) → everything 'train';
     - holdout count = max(1, min(total-1, round(total·(test+validation))))
       → train is NEVER empty, holdout never whole;
-    - validation carved from holdout only when both ratios > 0 AND the
-      holdout has > 1 row (reference: len(test split) > 1 gate).
+    - validation carved from holdout only when BOTH ratios > 0 AND the
+      holdout has > 1 row (reference: ``validation_ratio > 0 and
+      test_ratio > 0 and len(splits["test"]) > 1``). Replicated quirk:
+      with test=0 and validation>0 the reference labels the whole holdout
+      'test' anyway — so do we (pinned by test_resume_sinks.py).
+    - rounding: holdout uses Python round() (reference parity:
+      ``int(round(...))``); the validation carve — OUR formula, the
+      reference uses HF's fraction split there — uses floor(x+0.5) so the
+      DuckDB oracle (half-away round) can restate it exactly for any
+      corpus size, not only sizes that dodge banker's-rounding .5 cases.
 
     Membership = deterministic rank by md5(key#seed): stable under
     re-partitioning and re-runs (HF bit-parity explicitly waived, SURVEY
@@ -124,10 +132,15 @@ def sized_split(
     holdout_ratio = test + validation
     if total < 2 or holdout_ratio <= 0 or holdout_ratio >= 1:
         return df.withColumn("split", F.lit("train"))
+    import math
+
     holdout = max(1, min(total - 1, round(total * holdout_ratio)))
     val_n = 0
     if validation > 0 and test > 0 and holdout > 1:
-        val_n = min(holdout - 1, max(1, round(holdout * validation / holdout_ratio)))
+        val_n = min(
+            holdout - 1,
+            max(1, math.floor(holdout * validation / holdout_ratio + 0.5)),
+        )
     from pyspark.sql import Window
 
     key = F.col(key_col)

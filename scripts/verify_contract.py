@@ -67,6 +67,8 @@ def _norm_spark_type(t: str) -> str:
 def _norm_arrow_type(t) -> str:
     """pyarrow dtype (from DuckDB .arrow()) → canonical family name."""
     s = str(t)
+    if s.startswith("timestamp["):  # timestamp[us], timestamp[ns], tz-tagged
+        return "timestamp"
     return {
         "int8": "int8", "int16": "int16", "int32": "int32",
         "int64": "int64", "float": "float32", "float32": "float32",

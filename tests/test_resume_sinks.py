@@ -200,3 +200,17 @@ def test_sampling_markdown_report_structure(spark):
     assert "- Mean Improvement: 25.00%" in report
     assert "- Max Improvement: 25.00%" in report
     assert "- Min Improvement: 25.00%" in report
+
+
+def test_sized_split_testless_validation_quirk(spark):
+    """Replicated reference quirk (dataset_converter.py:133): validation is
+    carved only when BOTH test and validation ratios are > 0 — with test=0
+    and validation>0 the whole holdout is labeled 'test' anyway."""
+    from openllm_ocr_annotator_spark.sinks.export import sized_split
+
+    df = spark.range(10).selectExpr("CAST(id AS STRING) AS doc_id")
+    out = sized_split(df, key_col="doc_id", train=0.8, test=0.0, validation=0.2)
+    counts = {}
+    for r in out.collect():
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert counts == {"train": 8, "test": 2}
