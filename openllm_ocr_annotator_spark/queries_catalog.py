@@ -1267,6 +1267,84 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "training_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             {_LANG_HITS_SQL["en"]} AS h_en,
+             {_LANG_HITS_SQL["code"]} AS h_code,
+             {_LANG_HITS_SQL["data"]} AS h_data,
+             {_QUALITY_SQL} AS quality
+      FROM documents WHERE n_chars > 0
+    ),
+    labeled AS (
+      SELECT *, CASE WHEN greatest(h_en, h_code, h_data) = 0 THEN 'unknown'
+                     WHEN h_code = greatest(h_en, h_code, h_data) THEN 'code'
+                     WHEN h_data = greatest(h_en, h_code, h_data) THEN 'data'
+                     ELSE 'en' END AS lang_hat
+      FROM scored
+    ),
+    kept AS (
+      SELECT doc_id, source, text FROM labeled
+      WHERE lang_hat IN ('en', 'data') AND quality >= 0.75
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, min(source) AS source,
+             min(CAST(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS BIGINT)) AS n_tokens
+      FROM kept GROUP BY md5(text)
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / 256.0) AS BIGINT) AS pack_id
+      FROM deduped
+    )
+    SELECT source,
+           count(DISTINCT pack_id) AS n_packs,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY source
+    """,
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data assembly as ONE declarative plan:
+    language-ID + quality gate → exact dedup (keep min doc_id) → token
+    accounting → greedy shard packing → per-source shard stats. Catalyst
+    fuses the two filters into the scan; shuffles are the dedup groupBy,
+    the per-stream pack window, and the final rollup — the same plan shape
+    at 100 TB, keyed throughout by (source, digest/doc_id)."""
+    from .functions.text import lang_id, quality_score, token_count_ws
+    from .operators.pack import pack_sequences
+
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    kept = docs.filter(
+        lang_id(F.col("text")).isin("en", "data")
+        & (quality_score(F.col("text")) >= 0.75)
+    )
+    deduped = (
+        kept.select(
+            "doc_id", "source", F.md5("text").alias("digest"),
+            token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("source").alias("source"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .drop("digest")
+    )
+    packed = pack_sequences(deduped, budget=256)
+    return packed.groupBy("source").agg(
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@_q(
     "corpus_profile",
     """
     SELECT source, count(*) AS n_docs,
