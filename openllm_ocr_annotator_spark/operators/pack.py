@@ -56,6 +56,33 @@ def pack_summary(packed: DataFrame, stream_col: str = "source",
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    stratum_col: str = "source",
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum down-sampling — the source-mixing step of
+    a pretraining data recipe (down-weight over-represented sources).
+
+    Membership is a pure function of the key (md5 bucket < rate·100, same
+    engine-portable arithmetic as the split sink): stable under
+    re-partitioning and resumable, unlike ``df.sampleBy`` whose Bernoulli
+    draw depends on partition iteration order. Rates are percent-granular
+    (hundredths) by construction. No shuffle: a scan-level filter.
+    """
+    from ..sinks.export import split_bucket
+
+    bucket = split_bucket(F.col(key_col), seed)
+    rate_map = F.create_map(
+        *[x for s, r in rates.items() for x in (F.lit(s), F.lit(float(r)))]
+    )
+    rate = F.coalesce(rate_map[F.col(stratum_col)], F.lit(float(default_rate)))
+    return docs.filter(bucket < F.round(rate * 100).cast("int"))
+
+
 def corpus_profile(docs: DataFrame, group_col: str = "source",
                    chars_col: str = "n_chars") -> DataFrame:
     """Per-group corpus statistics: the curation-run profiling pass.

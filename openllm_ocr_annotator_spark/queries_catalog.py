@@ -1345,6 +1345,38 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "source_mixing",
+    """
+    WITH sampled AS (
+      SELECT doc_id, source,
+             (ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 1)) * 256
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 2, 1))) % 100
+               AS bucket,
+             CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 50
+                         WHEN 'src2' THEN 10 ELSE 100 END AS keep_pct
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs
+    FROM sampled WHERE bucket < keep_pct GROUP BY source
+    """,
+)
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining source-mixing: deterministic per-source down-sampling
+    (src0→25%, src1→50%, src2→10%, rest kept) via a pure-function-of-key
+    bucket — membership survives re-partitioning and resume, unlike
+    sampleBy's iteration-order-dependent Bernoulli draw (operators/pack.py:
+    stratified_sample)."""
+    from .operators.pack import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"src0": 0.25, "src1": 0.5, "src2": 0.10},
+        default_rate=1.0,
+    )
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_q(
     "corpus_profile",
     """
     SELECT source, count(*) AS n_docs,

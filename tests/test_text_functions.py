@@ -90,3 +90,23 @@ def test_corpus_profile_exact_stats(spark):
     assert got["a"].median_chars == 30.0  # interpolated even-count median
     assert (got["a"].min_chars, got["a"].max_chars) == (10, 50)
     assert got["b"].median_chars == 7.0
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark):
+    from openllm_ocr_annotator_spark.operators.pack import stratified_sample
+
+    docs = spark.range(4000).selectExpr(
+        "id AS doc_id", "concat('s', CAST(id % 4 AS STRING)) AS source"
+    )
+    rates = {"s0": 0.25, "s1": 0.5, "s2": 0.0}
+    a = stratified_sample(docs, rates, default_rate=1.0)
+    counts = {r.source: r.n for r in
+              a.groupBy("source").agg(__import__('pyspark').sql.functions.count("*").alias("n")).collect()}
+    # hash buckets are percent-granular: expect ~rate*1000 per stratum
+    assert 0.18 < counts["s0"] / 1000 < 0.32
+    assert 0.42 < counts["s1"] / 1000 < 0.58
+    assert "s2" not in counts            # rate 0 → everything dropped
+    assert counts["s3"] == 1000          # default rate keeps all
+    # pure function of key: identical membership on re-run and re-partition
+    b = stratified_sample(docs.repartition(13), rates, default_rate=1.0)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
