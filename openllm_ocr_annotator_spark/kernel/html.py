@@ -82,6 +82,21 @@ class _Block:
 _TAG_RE = re.compile(r"<([^>]*)>")
 _NAME_RE = re.compile(r"[a-zA-Z0-9_-]*")
 
+# Parsed-tag memo: tag bodies repeat massively in real markup (every </p>,
+# </a>, bare <li>, ... is the identical string), and parsing is a pure
+# function of the segment — memoizing is semantics-free. False = segment
+# yields no tag (comment/doctype/empty name). Long segments (unique
+# attribute-carrying tags like <a href="...">) are parsed but not stored,
+# so the cache holds the high-frequency short tags and never thrashes.
+_TAG_CACHE: dict[str, tuple | bool] = {}
+_TAG_CACHE_MAX = 1 << 16
+_TAG_CACHE_MAX_SEG = 64
+
+
+def _tag_cache_put(seg: str, parsed: tuple | bool) -> None:
+    if len(seg) <= _TAG_CACHE_MAX_SEG and len(_TAG_CACHE) < _TAG_CACHE_MAX:
+        _TAG_CACHE[seg] = parsed
+
 # One dict lookup per tag instead of four frozenset probes.
 _F_SKIP, _F_BLOCK, _F_CHROME, _F_VOID = 1, 2, 4, 8
 _TAG_FLAGS: dict[str, int] = {}
@@ -154,16 +169,25 @@ def tokenize_html(html: str) -> list[tuple]:
                 add_text(seg)
             continue
 
-        raw = seg.strip()
-        if not raw or raw[0] == "!":  # comment/doctype
+        parsed = _TAG_CACHE.get(seg)
+        if parsed is None:
+            raw = seg.strip()
+            if not raw or raw[0] == "!":  # comment/doctype
+                _tag_cache_put(seg, False)
+                continue
+            closing = raw[0] == "/"
+            body = raw[1:] if closing else raw
+            name = _NAME_RE.match(body).group().lower()
+            if not name:
+                _tag_cache_put(seg, False)
+                continue
+            flags = flags_get(name, 0)
+            self_closing = bool(raw[-1] == "/" or flags & _F_VOID)
+            parsed = (closing, name, body, flags, self_closing)
+            _tag_cache_put(seg, parsed)
+        elif parsed is False:
             continue
-        closing = raw[0] == "/"
-        body = raw[1:] if closing else raw
-        name = _NAME_RE.match(body).group().lower()
-        if not name:
-            continue
-        flags = flags_get(name, 0)
-        self_closing = raw[-1] == "/" or flags & _F_VOID
+        closing, name, body, flags, self_closing = parsed
 
         if flags & _F_SKIP:
             if closing:
