@@ -193,3 +193,27 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
         spark.sql("DROP TABLE IF EXISTS gt_b")
         spark.sql("DROP TABLE IF EXISTS pred_b")
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing = one window cumsum: exactly one exchange, keyed on the
+    stream column — no extra shuffle may creep in."""
+    plan = _plan(qc.QUERIES["pack_sequences"](spark, SF_DIR))
+    # window exchange + final rollup exchange only
+    assert _n_exchanges(plan) <= 2
+    assert "Window" in plan
+
+
+def test_source_mixing_is_scan_level_filter(spark):
+    """Stratified sampling must stay a shuffle-free filter (plus its one
+    rollup agg): the mixing step cannot cost an exchange per stratum."""
+    plan = _plan(qc.QUERIES["source_mixing"](spark, SF_DIR))
+    assert _n_exchanges(plan) <= 1, "filter + single rollup only"
+
+
+def test_training_pipeline_bounded_shuffles(spark):
+    """curation gate → dedup → pack → rollup: the composite may shuffle at
+    the dedup groupBy, the pack window, and the final rollup — nothing else."""
+    plan = _plan(qc.QUERIES["training_pipeline"](spark, SF_DIR))
+    assert _n_exchanges(plan) <= 3
+    assert "PushedFilters" in plan
