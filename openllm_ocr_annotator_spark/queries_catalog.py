@@ -1613,7 +1613,7 @@ def q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
     ),
@@ -1635,8 +1635,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window`` — merging/variable-length event-time windows, the
     stateful-aggregation shape a monitoring pipeline needs beyond tumbling
     windows. The oracle restates it as gaps-and-islands SQL (lag → island
-    cumsum), pinning Spark's merge semantics (a gap of exactly the timeout
-    starts a new session; session end = last event + gap)."""
+    cumsum), pinning Spark's merge semantics (an event at EXACTLY
+    last+gap still merges — the boundary is inclusive, pinned by
+    tests/test_media_streaming.py::test_session_window_exact_gap_boundary;
+    session end = last event + gap)."""
     from .streaming.windowed import session_event_counts
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -70,9 +70,9 @@ def session_event_counts(
     """Per-user session windows (inactivity gap): merging variable-length
     event-time windows via the built-in ``session_window`` — Spark's
     stateful session aggregation, identical on batch and stream. Session
-    end = last event + gap; a gap of exactly the timeout starts a new
-    session (pinned by the gaps-and-islands oracle of driver query
-    ``sessionize``)."""
+    end = last event + gap; an event at exactly last+gap still MERGES
+    (inclusive boundary — pinned by the exact-gap pytest and the strict
+    ``>`` in the gaps-and-islands oracle of driver query ``sessionize``)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

@@ -287,3 +287,33 @@ def test_streaming_sessionization_matches_batch_twin(spark, tmp_path):
     for k, v in streamed.items():
         assert batch[k] == v
     assert set(streamed) <= set(batch)
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """An event at EXACTLY last+gap still MERGES (Spark's session boundary
+    is inclusive); one microsecond beyond splits. The sessionize oracle
+    encodes new-session as gap > timeout (strict) — this pins that Spark
+    agrees, with crafted timestamps rather than corpus luck."""
+    from datetime import datetime, timedelta
+
+    from openllm_ocr_annotator_spark.streaming.windowed import session_event_counts
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    gap = timedelta(minutes=30)
+    rows = [
+        # user 1: second event exactly at t0+gap -> still ONE session
+        (1, t0, 1.0), (1, t0 + gap, 1.0),
+        # user 2: second event 1us beyond the gap -> two sessions
+        (2, t0, 1.0), (2, t0 + gap + timedelta(microseconds=1), 1.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "e", v, "{}") for i, (u, ts, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {}
+    for r in session_event_counts(ev, gap="30 minutes").collect():
+        got.setdefault(r.user_id, []).append((r.session_start, r.session_end, r.n_events))
+    assert len(got[1]) == 1 and got[1][0][2] == 2
+    assert got[1][0][1] == t0 + gap + gap  # merged end = last event + gap
+    assert len(got[2]) == 2 and sorted(n for _, _, n in got[2]) == [1, 1]
