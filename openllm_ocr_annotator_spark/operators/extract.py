@@ -114,7 +114,7 @@ def extract_spans(docs: DataFrame, params: dict | None = None) -> DataFrame:
     return docs.select("doc_id", "spans").mapInArrow(kernel, schema=EXTRACTED_SCHEMA)
 
 
-def extract_spans_wide(docs: DataFrame) -> DataFrame:
+def extract_spans_wide(docs: DataFrame, renumber_buckets: int | None = None) -> DataFrame:
     """Span-level parallel variant: removes the one-doc-per-task floor.
 
     ``extract_spans`` processes a document's spans serially inside one task
@@ -138,14 +138,17 @@ def extract_spans_wide(docs: DataFrame) -> DataFrame:
     the heavy tail is extreme (single docs that would straggle a stage);
     the narrow path stays the default.
 
-    Residual floor (documented limit): the final renumber window re-collects
-    each doc's OUTPUT items onto one task for the int-keyed sort — the
-    kernel work (the dominant cost, measured 2.1× at 50% skew in
-    scripts/skew_bench.py) is spread, but a giga-doc's output still
-    single-threads through that sort. If that ever dominates, split the
-    window into (doc_id, span_rank-range) buckets with additive base
-    offsets computed from per-bucket counts — deferred until a workload
-    shows it.
+    Residual floor (documented limit): by default the final renumber window
+    re-collects each doc's OUTPUT items onto one task for the int-keyed
+    sort — the kernel work (the dominant cost, measured 2.1× at 50% skew
+    in scripts/skew_bench.py) is spread, but a giga-doc's output still
+    single-threads through that sort. ``renumber_buckets=B`` removes that
+    floor for the extreme case: items renumber within (doc_id,
+    span_rank//B) buckets in parallel, plus additive base offsets from a
+    tiny per-bucket count rollup — row-identical output (pinned by
+    tests/test_extract_e2e.py) at the cost of two extra small exchanges,
+    so it stays opt-in for corpora whose single-doc OUTPUT dominates a
+    task.
     """
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -225,10 +228,31 @@ def extract_spans_wide(docs: DataFrame) -> DataFrame:
             "kind string, text string, media_ref string"
         ),
     )
-    w = Window.partitionBy("doc_id").orderBy("span_rank", "item_idx")
-    return items.select(
-        "doc_id", "kind", "text", "media_ref",
-        (F.row_number().over(w) - 1).cast("int").alias("offset"),
+    if renumber_buckets is None:
+        w = Window.partitionBy("doc_id").orderBy("span_rank", "item_idx")
+        return items.select(
+            "doc_id", "kind", "text", "media_ref",
+            (F.row_number().over(w) - 1).cast("int").alias("offset"),
+        )
+    # bucketed renumber: contiguous span_rank ranges number independently in
+    # parallel; base offsets come from a per-bucket count rollup (rows ≈
+    # items/B — tiny) cumulated per doc. Global offset = base + local - 1.
+    items = items.withColumn(
+        "_bk", F.floor(F.col("span_rank") / F.lit(renumber_buckets)).cast("int")
+    )
+    counts = items.groupBy("doc_id", "_bk").agg(F.count(F.lit(1)).alias("_n"))
+    base_w = Window.partitionBy("doc_id").orderBy("_bk")
+    bases = counts.withColumn(
+        "_base", (F.sum("_n").over(base_w) - F.col("_n")).cast("long")
+    ).drop("_n")
+    local_w = Window.partitionBy("doc_id", "_bk").orderBy("span_rank", "item_idx")
+    return (
+        items.withColumn("_local", F.row_number().over(local_w))
+        .join(bases, ["doc_id", "_bk"])
+        .select(
+            "doc_id", "kind", "text", "media_ref",
+            (F.col("_base") + F.col("_local") - 1).cast("int").alias("offset"),
+        )
     )
 
 
