@@ -59,7 +59,13 @@ def main() -> None:
         corpus.count()
 
         results = {}
-        for label, fn in (("narrow", extract_spans), ("wide", extract_spans_wide)):
+        variants = (
+            ("narrow", extract_spans),
+            ("wide", extract_spans_wide),
+            # bucketed renumber: removes the giga-doc output-sort floor too
+            ("wide_bucketed", lambda df: extract_spans_wide(df, renumber_buckets=4096)),
+        )
+        for label, fn in variants:
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -76,7 +82,11 @@ def main() -> None:
                     "giga_doc_spans": int(base_spans),
                     "narrow_seconds": results["narrow"],
                     "wide_seconds": results["wide"],
+                    "wide_bucketed_seconds": results["wide_bucketed"],
                     "wide_speedup": round(results["narrow"] / results["wide"], 2),
+                    "bucketed_speedup": round(
+                        results["narrow"] / results["wide_bucketed"], 2
+                    ),
                 }
             )
         )
