@@ -92,3 +92,27 @@ def vocab_fingerprint(text: Column) -> Column:
     exact_dedup for shuffled-boilerplate detection."""
     vocab = F.array_sort(F.array_distinct(F.filter(words(text), lambda w: w != "")))
     return F.md5(F.concat_ws(" ", vocab))
+
+
+# --- PII scrubbing (training-data curation stage) ---------------------------
+# Patterns deliberately restricted to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB) — no lookaround — so the oracle can restate them verbatim.
+EMAIL_REGEX = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_REGEX = "\\b\\d{3}-\\d{4}\\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact e-mail addresses and phone-shaped numbers ([EMAIL]/[PHONE]).
+
+    E-mails first: the phone pattern is digit-anchored and cannot match
+    inside an already-redacted token, making the two passes order-safe."""
+    no_email = F.regexp_replace(text, EMAIL_REGEX, "[EMAIL]")
+    return F.regexp_replace(no_email, PHONE_REGEX, "[PHONE]")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the raw text — redaction accounting."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_REGEX)),
+        F.regexp_count(text, F.lit(PHONE_REGEX)),
+    )

@@ -1377,6 +1377,70 @@ def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pii_scrub",
+    """
+    WITH raw AS (
+      SELECT c_custkey, c_mktsegment,
+             c_mktsegment || ' customer contact user' || CAST(c_custkey AS VARCHAR)
+               || '@corp' || CAST(c_custkey % 7 AS VARCHAR) || '.example'
+               || ' phone 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || ' on file'
+               AS text
+      FROM customer
+    ),
+    scrubbed AS (
+      SELECT c_mktsegment,
+             len(regexp_extract_all(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b')) AS n_phones,
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS clean
+      FROM raw
+    )
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+           min(md5(clean)) AS min_content_hash,
+           max(md5(clean)) AS max_content_hash
+    FROM scrubbed GROUP BY c_mktsegment
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction stage of a training-data pipeline:
+    deterministic contact strings derived from the customer table, e-mail +
+    phone patterns redacted JVM-side (regexp_replace, no UDF), per-segment
+    redaction accounting. min/max md5 of the scrubbed text pins the ACTUAL
+    redacted content cross-engine, not just the counts."""
+    from .functions.text import pii_counts, scrub_pii
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    text = F.concat(
+        F.col("c_mktsegment"), F.lit(" customer contact user"), k.cast("string"),
+        F.lit("@corp"), (k % 7).cast("string"), F.lit(".example"),
+        F.lit(" phone 555-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" on file"),
+    )
+    n_emails, n_phones = pii_counts(text)
+    rows = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(scrub_pii(text)).alias("clean_hash"),
+    )
+    return rows.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("emails_redacted"),
+        F.sum("n_phones").cast("long").alias("phones_redacted"),
+        F.min("clean_hash").alias("min_content_hash"),
+        F.max("clean_hash").alias("max_content_hash"),
+    )
+
+
+@_q(
     "corpus_profile",
     """
     SELECT source, count(*) AS n_docs,

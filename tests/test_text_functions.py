@@ -110,3 +110,28 @@ def test_stratified_sample_deterministic_and_rate_accurate(spark):
     # pure function of key: identical membership on re-run and re-partition
     b = stratified_sample(docs.repartition(13), rates, default_rate=1.0)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from openllm_ocr_annotator_spark.functions.text import pii_counts, scrub_pii
+
+    rows = [
+        ("a", "reach me at jane.doe+x@sub.example.org or 555-0199 thanks"),
+        ("b", "two mails a@b.co c%d@e-f.io and numbers 123-4567 12-3456"),
+        ("c", "nothing sensitive here 1234567"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    ne, np_ = pii_counts(F.col("text"))
+    got = {
+        r.id: (r.clean, r.ne, r.np)
+        for r in df.select(
+            "id", scrub_pii(F.col("text")).alias("clean"),
+            ne.alias("ne"), np_.alias("np"),
+        ).collect()
+    }
+    assert got["a"] == ("reach me at [EMAIL] or [PHONE] thanks", 1, 1)
+    assert got["b"][0] == "two mails [EMAIL] [EMAIL] and numbers [PHONE] 12-3456"
+    assert got["b"][1:] == (2, 1)          # 12-3456 fails the \d{3}- shape
+    assert got["c"] == ("nothing sensitive here 1234567", 0, 0)
