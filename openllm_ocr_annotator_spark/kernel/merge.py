@@ -33,7 +33,17 @@ def extract_span(
 
     ``params``: optional kernel-variant thresholds for ensemble legs
     (keys: strong_words, weak_words, max_link_density). None = defaults.
+    ``fault_marker`` (params key): fault-injection hook — raises when the
+    marker substring appears in the span text. Exists so the poison-pill
+    isolation path (extract_spans(on_error="skip")) is TESTABLE: the
+    kernels are deliberately total functions (property-pinned never-crash),
+    so a real failure needs to be injected to exercise the guard.
     """
+    if params and "fault_marker" in params:
+        m = params["fault_marker"]
+        if m and text and m in text:
+            raise RuntimeError(f"fault injection: marker {m!r} in span text")
+        params = {k: v for k, v in params.items() if k != "fault_marker"}
     k = (kind or "").lower()
     if k == "html":
         out = []

@@ -24,6 +24,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -48,10 +49,21 @@ def salted_repartition(docs: DataFrame, num_partitions: int, salt_buckets: int =
     return salted.repartition(num_partitions, "doc_id", "_salt").drop("_salt")
 
 
-def extract_spans(docs: DataFrame, params: dict | None = None) -> DataFrame:
+def extract_spans(
+    docs: DataFrame, params: dict | None = None, on_error: str = "fail"
+) -> DataFrame:
     """documents(doc_id, spans) → ordered extracted spans (exploded rows).
 
     Narrow (no shuffle): one ``mapInArrow`` stage over the scan partitioning.
+
+    ``on_error="skip"`` replicates the reference's per-image log-and-continue
+    (run_annotation.py:119-121): a document whose extraction raises is
+    dropped (its partial output discarded, a warning logged to the executor
+    stderr) instead of failing the task — at 10^12 docs one poison document
+    must not kill a stage. Done-ness bookkeeping is unaffected: the snapshot
+    layer's ``keys=`` commit marks inputs processed independently of output
+    rows, so skipped docs are not retried forever. Default "fail" preserves
+    fail-fast semantics for pipelines that prefer loud errors.
 
     Arrow, not pandas, on purpose: converting ``array<struct>`` through
     pandas materializes one Python dict per span (measured ~2× slower and
@@ -89,17 +101,28 @@ def extract_spans(docs: DataFrame, params: dict | None = None) -> DataFrame:
                         texts[j] or "",
                     ),
                 )
-                rank = 0
-                for j in order:
-                    for kind, text, ref in extract_span(
-                        kinds[j] or "", texts[j] or "", refs[j] or "", params
-                    ):
-                        o_doc.append(did)
-                        o_kind.append(kind)
-                        o_text.append(text)
-                        o_ref.append(ref)
-                        o_off.append(rank)
-                        rank += 1
+                mark = len(o_doc)  # rollback point for poison-doc isolation
+                try:
+                    rank = 0
+                    for j in order:
+                        for kind, text, ref in extract_span(
+                            kinds[j] or "", texts[j] or "", refs[j] or "", params
+                        ):
+                            o_doc.append(did)
+                            o_kind.append(kind)
+                            o_text.append(text)
+                            o_ref.append(ref)
+                            o_off.append(rank)
+                            rank += 1
+                except Exception as exc:
+                    if on_error != "skip":
+                        raise
+                    del o_doc[mark:], o_kind[mark:], o_text[mark:]
+                    del o_ref[mark:], o_off[mark:]
+                    print(
+                        f"extract_spans: skipping doc {did!r}: {exc!r}",
+                        file=sys.stderr,
+                    )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(o_doc, pa.string()),

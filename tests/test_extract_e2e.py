@@ -287,3 +287,34 @@ def test_bucketed_renumber_row_identical(spark):
     for b in (1, 3, 4096):
         bucketed = sorted(map(tuple, extract_spans_wide(docs, renumber_buckets=b).collect()))
         assert bucketed == narrow, f"renumber_buckets={b} diverged"
+
+
+def test_poison_document_isolation(spark):
+    """Reference per-image log-and-continue (run_annotation.py:119-121):
+    on_error='skip' drops a document whose extraction raises and keeps the
+    rest; default fail-fast raises. Failure injected via the kernel's
+    fault_marker hook (the kernels are total functions otherwise)."""
+    import pytest as _pytest
+
+    from openllm_ocr_annotator_spark.operators.extract import extract_spans
+    from openllm_ocr_annotator_spark.synth import DOCUMENTS_SCHEMA
+
+    rows = [
+        ("doc_ok_1", [{"kind": "text", "text": "plain healthy content", "media_ref": "", "offset": 0}]),
+        ("doc_bad", [{"kind": "text", "text": "contains POISONPILL here", "media_ref": "", "offset": 0}]),
+        ("doc_ok_2", [{"kind": "text", "text": "more healthy content", "media_ref": "", "offset": 0}]),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    params = {"fault_marker": "POISONPILL"}
+
+    with _pytest.raises(Exception, match="fault injection"):
+        extract_spans(docs, params=params).collect()
+
+    kept = extract_spans(docs, params=params, on_error="skip").collect()
+    assert {r.doc_id for r in kept} == {"doc_ok_1", "doc_ok_2"}
+    # partial output of the poison doc fully rolled back, survivors intact
+    assert all(r.offset == 0 for r in kept)
+    # and without the marker the same doc extracts fine (hook is inert)
+    assert {r.doc_id for r in extract_spans(docs).collect()} == {
+        "doc_ok_1", "doc_bad", "doc_ok_2",
+    }
