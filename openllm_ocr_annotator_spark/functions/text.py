@@ -111,8 +111,13 @@ def scrub_pii(text: Column) -> Column:
 
 
 def pii_counts(text: Column) -> tuple[Column, Column]:
-    """(n_emails, n_phones) found in the raw text — redaction accounting."""
+    """(n_emails, n_phones) — redaction accounting that MATCHES the actual
+    replacements: phones are counted on the email-redacted intermediate,
+    exactly as ``scrub_pii`` sees them. Counting both on the raw text would
+    diverge when the patterns overlap (e.g. '555-1234@mail.com' is one
+    e-mail redaction, not an e-mail plus a phone)."""
+    no_email = F.regexp_replace(text, EMAIL_REGEX, "[EMAIL]")
     return (
         F.regexp_count(text, F.lit(EMAIL_REGEX)),
-        F.regexp_count(text, F.lit(PHONE_REGEX)),
+        F.regexp_count(no_email, F.lit(PHONE_REGEX)),
     )

@@ -63,7 +63,9 @@ def extract_spans(
     must not kill a stage. Done-ness bookkeeping is unaffected: the snapshot
     layer's ``keys=`` commit marks inputs processed independently of output
     rows, so skipped docs are not retried forever. Default "fail" preserves
-    fail-fast semantics for pipelines that prefer loud errors.
+    fail-fast semantics for pipelines that prefer loud errors. Anything
+    else raises at plan-build time — a typo'd 'ignore'/'SKIP' silently
+    meaning fail-fast would defeat the knob's purpose.
 
     Arrow, not pandas, on purpose: converting ``array<struct>`` through
     pandas materializes one Python dict per span (measured ~2× slower and
@@ -74,6 +76,8 @@ def extract_spans(
     the pinned (offset, kind, media_ref, text) order, expanded, then ranked
     0..n-1 per document.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -169,7 +173,8 @@ def extract_spans_wide(docs: DataFrame, renumber_buckets: int | None = None) -> 
     floor for the extreme case: items renumber within (doc_id,
     span_rank//B) buckets in parallel, plus additive base offsets from a
     tiny per-bucket count rollup — row-identical output (pinned by
-    tests/test_extract_e2e.py) at the cost of two extra small exchanges,
+    tests/test_extract_e2e.py) at the cost of persisting the item stream
+    (it feeds both the count rollup and the join) plus two extra exchanges,
     so it stays opt-in for corpora whose single-doc OUTPUT dominates a
     task.
     """
@@ -260,16 +265,21 @@ def extract_spans_wide(docs: DataFrame, renumber_buckets: int | None = None) -> 
     # bucketed renumber: contiguous span_rank ranges number independently in
     # parallel; base offsets come from a per-bucket count rollup (rows ≈
     # items/B — tiny) cumulated per doc. Global offset = base + local - 1.
+    # The item stream feeds BOTH the count rollup and the join — persist it,
+    # or the extraction kernel (the engine's most expensive stage) and its
+    # whole upstream would execute twice.
+    from pyspark import StorageLevel
+
     items = items.withColumn(
         "_bk", F.floor(F.col("span_rank") / F.lit(renumber_buckets)).cast("int")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = items.groupBy("doc_id", "_bk").agg(F.count(F.lit(1)).alias("_n"))
     base_w = Window.partitionBy("doc_id").orderBy("_bk")
     bases = counts.withColumn(
         "_base", (F.sum("_n").over(base_w) - F.col("_n")).cast("long")
     ).drop("_n")
     local_w = Window.partitionBy("doc_id", "_bk").orderBy("span_rank", "item_idx")
-    return (
+    out = (
         items.withColumn("_local", F.row_number().over(local_w))
         .join(bases, ["doc_id", "_bk"])
         .select(
@@ -277,6 +287,8 @@ def extract_spans_wide(docs: DataFrame, renumber_buckets: int | None = None) -> 
             (F.col("_base") + F.col("_local") - 1).cast("int").alias("offset"),
         )
     )
+    out.cached_deps = [items]
+    return out
 
 
 def extract_pipeline(

@@ -1050,6 +1050,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb.unionByName(copies), threshold=0.9)
 
 
+_LANG_CASE_SQL = """CASE WHEN greatest(h_en, h_code, h_data) = 0 THEN 'unknown'
+                     WHEN h_code = greatest(h_en, h_code, h_data) THEN 'code'
+                     WHEN h_data = greatest(h_en, h_code, h_data) THEN 'data'
+                     ELSE 'en' END"""
+
 _LANG_HITS_SQL = {
     "en": "len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','of','and')))",
     "code": "len(list_filter(string_split(lower(text), ' '), x -> x IN ('spark','batch','stream','query')))",
@@ -1069,10 +1074,7 @@ _LANG_HITS_SQL = {
     ),
     labeled AS (
       SELECT doc_id, lang,
-             CASE WHEN greatest(h_en, h_code, h_data) = 0 THEN 'unknown'
-                  WHEN h_code = greatest(h_en, h_code, h_data) THEN 'code'
-                  WHEN h_data = greatest(h_en, h_code, h_data) THEN 'data'
-                  ELSE 'en' END AS lang_hat
+             {_LANG_CASE_SQL} AS lang_hat
       FROM scored
     )
     SELECT lang_hat, count(*) AS n_docs FROM labeled GROUP BY lang_hat
@@ -1181,10 +1183,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE n_chars > 0
     ),
     labeled AS (
-      SELECT *, CASE WHEN greatest(h_en, h_code, h_data) = 0 THEN 'unknown'
-                     WHEN h_code = greatest(h_en, h_code, h_data) THEN 'code'
-                     WHEN h_data = greatest(h_en, h_code, h_data) THEN 'data'
-                     ELSE 'en' END AS lang_hat
+      SELECT *, {_LANG_CASE_SQL} AS lang_hat
       FROM scored
     ),
     kept AS (
@@ -1278,10 +1277,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE n_chars > 0
     ),
     labeled AS (
-      SELECT *, CASE WHEN greatest(h_en, h_code, h_data) = 0 THEN 'unknown'
-                     WHEN h_code = greatest(h_en, h_code, h_data) THEN 'code'
-                     WHEN h_data = greatest(h_en, h_code, h_data) THEN 'data'
-                     ELSE 'en' END AS lang_hat
+      SELECT *, {_LANG_CASE_SQL} AS lang_hat
       FROM scored
     ),
     kept AS (
@@ -1388,16 +1384,22 @@ def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS text
       FROM customer
     ),
-    scrubbed AS (
+    no_email AS (
       SELECT c_mktsegment,
              len(regexp_extract_all(text,
                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
-             len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b')) AS n_phones,
-             regexp_replace(
-               regexp_replace(text,
-                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
-               '\\b\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS clean
+             regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                 '[EMAIL]', 'g') AS t1
       FROM raw
+    ),
+    -- phones counted on the email-redacted intermediate: accounting must
+    -- match the sequential replacement passes, not the raw text
+    scrubbed AS (
+      SELECT c_mktsegment, n_emails,
+             len(regexp_extract_all(t1, '\\b\\d{3}-\\d{4}\\b')) AS n_phones,
+             regexp_replace(t1, '\\b\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS clean
+      FROM no_email
     )
     SELECT c_mktsegment AS segment,
            count(*) AS n_docs,

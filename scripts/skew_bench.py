@@ -68,6 +68,12 @@ def main() -> None:
         for label, fn in variants:
             best = float("inf")
             for _ in range(3):
+                # the bucketed variant persists its item stream and Spark's
+                # CacheManager matches identical plans across trials — clear
+                # between trials (keeping the cached input corpus) so every
+                # trial measures the full end-to-end cost
+                spark.catalog.clearCache()
+                corpus.cache().count()
                 t0 = time.perf_counter()
                 fn(corpus).agg(F.count(F.lit(1))).first()
                 best = min(best, time.perf_counter() - t0)

@@ -135,3 +135,21 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got["b"][0] == "two mails [EMAIL] [EMAIL] and numbers [PHONE] 12-3456"
     assert got["b"][1:] == (2, 1)          # 12-3456 fails the \d{3}- shape
     assert got["c"] == ("nothing sensitive here 1234567", 0, 0)
+
+
+def test_pii_counts_match_sequential_replacement(spark):
+    """Accounting must mirror the sequential scrub passes: a phone-shaped
+    string swallowed by the e-mail redaction is ONE e-mail, zero phones."""
+    from pyspark.sql import functions as F
+
+    from openllm_ocr_annotator_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [("x", "call 555-1234@mail.com now")], "id string, text string"
+    )
+    ne, np_ = pii_counts(F.col("text"))
+    r = df.select(
+        scrub_pii(F.col("text")).alias("clean"), ne.alias("ne"), np_.alias("np")
+    ).collect()[0]
+    assert r.clean == "call [EMAIL] now"
+    assert (r.ne, r.np) == (1, 0)
