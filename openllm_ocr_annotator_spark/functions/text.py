@@ -121,3 +121,21 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
         F.regexp_count(text, F.lit(EMAIL_REGEX)),
         F.regexp_count(no_email, F.lit(PHONE_REGEX)),
     )
+
+
+def repetition_score(text: Column, n: int = 3) -> Column:
+    """Gopher-style intra-document repetition: 1 − distinct/total n-grams.
+
+    0.0 = no repeated n-grams, → 1.0 as the doc degenerates into repeated
+    boilerplate. The standard repetition quality gate for pretraining data
+    (duplicated-line/ngram fraction filters). JVM-side array expressions.
+    """
+    from ..operators.dedup import ngram_tokens
+
+    # total uses the SAME unfiltered word basis as ngram_tokens (split on
+    # ' ' without dropping empties), so distinct ≤ total always holds
+    total = F.greatest(F.size(words(text)) - (n - 1), F.lit(0))
+    distinct = F.size(ngram_tokens(text, n))
+    return F.when(
+        total > 0, F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))

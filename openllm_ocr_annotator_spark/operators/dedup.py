@@ -300,3 +300,29 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def decontaminate(
+    train: DataFrame, benchmark: DataFrame, n: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing ANY word
+    n-gram with an evaluation/benchmark set — the standard n-gram overlap
+    rule for keeping eval sets out of pretraining corpora.
+
+    Physical shape: benchmark grams are DISTINCT and usually tiny relative
+    to the corpus (an eval set), so the semi-join broadcasts them when
+    small and sort-merges otherwise — the planner's call; the train side
+    explodes grams once and anti-joins on the gram key. Returns the CLEAN
+    train rows (contaminated docs removed).
+    """
+    tg = train.select(
+        F.col(id_col).alias("_did"), F.explode(ngram_tokens(F.col(text_col), n)).alias("g")
+    ).filter(F.col("g") != "")
+    bg = (
+        benchmark.select(F.explode(ngram_tokens(F.col(text_col), n)).alias("g"))
+        .filter(F.col("g") != "")
+        .distinct()
+    )
+    contaminated = tg.join(bg, "g", "left_semi").select(F.col("_did").alias(id_col)).distinct()
+    return train.join(contaminated, id_col, "left_anti")

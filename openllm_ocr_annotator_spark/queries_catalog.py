@@ -1172,6 +1172,94 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    rep AS (
+      SELECT source,
+             CASE WHEN len(w) >= 3
+                  THEN 1.0 - CAST(len(list_distinct(
+                         [array_to_string(w[g : g + 2], ' ')
+                          for g in generate_series(1, len(w) - 2)])) AS DOUBLE)
+                       / CAST(len(w) - 2 AS DOUBLE)
+                  ELSE 0.0 END AS r
+      FROM toks
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(r), 6) AS avg_repetition,
+           CAST(SUM(CASE WHEN r > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM rep GROUP BY source
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: 1 − distinct/total 3-grams per doc
+    (functions/text.repetition_score), rolled up per source with a
+    repetitive-doc count — the duplicated-ngram-fraction quality filter."""
+    from .functions.text import repetition_score
+
+    r = repetition_score(F.col("text"), n=3)
+    return (
+        _docs(spark, sf_dir)
+        .select("source", r.alias("r"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("r"), 6).alias("avg_repetition"),
+            F.sum(F.when(F.col("r") > 0.05, 1).otherwise(0)).cast("long").alias("n_repetitive"),
+        )
+    )
+
+
+@_q(
+    "decontaminate",
+    """
+    WITH bw AS (
+      SELECT string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench AS (
+      SELECT DISTINCT array_to_string(b.w[i.g : i.g + 4], ' ') AS g
+      FROM bw b, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(b.w) - 4, 0))) AS g
+      ) i
+      WHERE array_to_string(b.w[i.g : i.g + 4], ' ') <> ''
+    ),
+    train AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    tgrams AS (
+      SELECT DISTINCT t.doc_id, array_to_string(t.w[i.g : i.g + 4], ' ') AS g
+      FROM train t, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t.w) - 4, 0))) AS g
+      ) i
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM tgrams JOIN bench USING (g)
+    )
+    SELECT source, count(*) AS n_clean
+    FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY source
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): training
+    docs sharing ANY 5-gram with the benchmark slice (doc_id % 97 == 0) are
+    dropped — the standard n-gram-overlap rule for keeping eval sets out of
+    pretraining corpora. Output = per-source clean counts."""
+    from .operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    clean = decontaminate(train, bench, n=5)
+    return clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
+
+
+@_q(
     "corpus_curation",
     f"""
     WITH scored AS (

@@ -152,3 +152,40 @@ def test_simhash_batch_matches_per_doc():
     assert np.array_equal(got, want)
     assert got[1] == 0 and got[2] == 0
     assert got[0] == got[4]
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    """Planted benchmark overlap: a train doc sharing one 5-gram with the
+    benchmark is dropped; disjoint docs survive."""
+    from openllm_ocr_annotator_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps right here"),  # shares 5-gram
+            (2, "completely different words with no shared phrases at all"),
+            (3, "quick brown fox jumps over"),  # exactly one shared 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    clean = decontaminate(train, bench, n=5)
+    assert {r.doc_id for r in clean.collect()} == {2}
+
+
+def test_repetition_score_values(spark):
+    from pyspark.sql import functions as F
+
+    from openllm_ocr_annotator_spark.functions.text import repetition_score
+
+    rows = [
+        ("rep", "a b c a b c a b c"),     # 7 grams, 3 distinct → 4/7
+        ("uniq", "one two three four five"),  # 3 grams, all distinct → 0
+        ("tiny", "x y"),                   # < n words → 0
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r.id: round(r.r, 6) for r in
+           df.select("id", repetition_score(F.col("text"), 3).alias("r")).collect()}
+    assert got == {"rep": round(4 / 7, 6), "uniq": 0.0, "tiny": 0.0}
