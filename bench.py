@@ -117,6 +117,8 @@ def main() -> None:
             "text_quality",
             "text_token_stats",
             "corpus_curation",
+            "training_pipeline",
+            "sessionize",
             "pack_sequences",
             "media_features",
             "ensemble_extract",
