@@ -302,6 +302,114 @@ def simhash_pairs(
     )
 
 
+def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label round: neighbor-min (join + partial-agg'd groupBy on
+    node id) then pointer jump (``label ← label[label]``). Pure plan — the
+    caller checkpoints. Exchange count per round is bounded and pinned by
+    tests/test_plan_shapes.py."""
+    nbr = (
+        edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+        .groupBy("src")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    stepped = labels.join(
+        nbr.select(F.col("src").alias("node"), "nbr_label"), "node", "left"
+    ).select(
+        "node",
+        F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+    )
+    hop = stepped.select(
+        F.col("node").alias("label_node"), F.col("label").alias("label2")
+    )
+    return stepped.join(hop, stepped["label"] == hop["label_node"], "left").select(
+        "node",
+        F.least(stepped["label"], F.coalesce("label2", stepped["label"])).alias("label"),
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve near-dup *pairs* into connected components → a keep/drop list.
+
+    The pair generators (``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` /
+    ``simhash_pairs``) stop at similar pairs; an actual dedup pass needs the
+    transitive closure (A~B, B~C ⇒ one keeper among {A,B,C}). Returns
+    ``(doc_id, cluster_id, keep)`` where ``cluster_id`` is the minimum
+    doc_id in the component and ``keep = (doc_id == cluster_id)`` — the same
+    canonical-is-min convention as ``exact_dedup``. When ``docs`` is given,
+    singleton documents (no near-dup pair) appear with their own id and
+    ``keep = true``, so the output is a complete corpus keep/drop list.
+
+    Algorithm: iterative min-label propagation, entirely in DataFrame ops
+    (no driver-side union-find, no collect): each round takes the min label
+    over neighbors (one join + one partial-agg'd groupBy on node id), then
+    pointer-jumps (``label ← label[label]``, one more join) so long chains
+    converge in O(log diameter) rounds rather than O(diameter). Labels are
+    ``localCheckpoint``-ed eagerly each round to truncate lineage — the
+    standard guard for iterative Spark jobs (on a real cluster with
+    unreliable executors, swap in ``checkpoint()`` + a checkpoint dir).
+    Convergence = zero changed labels (exact join-based count; a sum(label)
+    fixpoint probe would overflow int64 at 10^12-doc id ranges).
+
+    Scale shape: per round a CONSTANT number of exchanges (4 joins/aggs →
+    ~11 physical Exchange nodes incl. both join sides; pinned in
+    tests/test_plan_shapes.py), all hash-partitioned on node/label ids
+    (uniform by construction — no cartesian or nested-loop join anywhere);
+    the labels relation is one row per doc that appears in any pair — for
+    typical near-dup rates (<30%) a small fraction of the corpus.
+    ``max_iter`` bounds the loop; log2(longest chain) ≤ 30 covers any
+    physically possible component.
+    """
+    a_col, b_col = pair_cols
+    und = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        new_labels = _propagate_round(edges, labels).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} iterations — "
+            "component diameter exceeds 2^max_iter, which indicates corrupt "
+            "pair input rather than a real corpus"
+        )
+    edges.unpersist()
+    clustered = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    if docs is not None:
+        clustered = (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(clustered, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+            )
+        )
+    return clustered.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
 def decontaminate(
     train: DataFrame, benchmark: DataFrame, n: int = 5,
     id_col: str = "doc_id", text_col: str = "text",

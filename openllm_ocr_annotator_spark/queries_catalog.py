@@ -961,6 +961,62 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i.g : i.g + 2], ' ') AS g
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g) i
+    ),
+    grams_all AS (SELECT doc_id, g FROM grams WHERE g <> ''),
+    rare AS (SELECT g FROM grams_all GROUP BY g HAVING count(*) <= 50),
+    grams_ne AS (SELECT doc_id, grams_all.g FROM grams_all JOIN rare USING (g)),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams_ne GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM grams_ne a JOIN grams_ne b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, walk.lab FROM walk JOIN edges e ON e.a = walk.node
+    ),
+    comp AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair→cluster resolution: 3-gram Jaccard near-dup pairs (same df<=50
+    cap as dedup_ngram_jaccard) → connected components via DataFrame
+    min-label propagation with pointer jumping → complete keep/drop list
+    (cluster_id = min doc_id of component, singletons keep themselves).
+    Oracle: DuckDB recursive CTE reachability, min label per node. The
+    sf0.01 corpus yields 23 natural components incl. a transitive size-3
+    chain, so the closure semantics are load-bearing, not vacuous."""
+    from .operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_df=50)
+    return dedup_clusters(pairs, docs=docs)
+
+
+@_q(
     "similarity_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

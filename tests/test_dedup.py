@@ -175,6 +175,80 @@ def test_decontaminate_drops_ngram_overlap(spark):
     assert {r.doc_id for r in clean.collect()} == {2}
 
 
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B, B~C (A and C never paired directly) ⇒ one cluster, one keeper."""
+    from openllm_ocr_annotator_spark.operators.dedup import dedup_clusters
+
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup_clusters(_pairs_df(spark, [(1, 2), (2, 3)])).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False)}
+
+
+def test_dedup_clusters_long_chain_and_multiple_components(spark):
+    """A 12-node path (worst case for naive propagation — pointer jumping
+    must converge it inside max_iter) plus a disjoint triangle and a star."""
+    from openllm_ocr_annotator_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(10, 21)]            # path 10..21
+    tri = [(100, 101), (101, 102), (100, 102)]             # triangle
+    star = [(200, 201), (200, 202), (200, 203)]            # star
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup_clusters(_pairs_df(spark, chain + tri + star),
+                                   max_iter=8).collect()}
+    assert all(out[i] == (10, i == 10) for i in range(10, 22))
+    assert all(out[i] == (100, i == 100) for i in (100, 101, 102))
+    assert all(out[i] == (200, i == 200) for i in (200, 201, 202, 203))
+
+
+def test_dedup_clusters_with_docs_includes_singletons(spark):
+    from openllm_ocr_annotator_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(5)],
+                                 "doc_id long, text string")
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup_clusters(_pairs_df(spark, [(1, 3)]), docs=docs).collect()}
+    assert out == {0: (0, True), 1: (1, True), 2: (2, True),
+                   3: (1, False), 4: (4, True)}
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from openllm_ocr_annotator_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i, "x") for i in range(3)],
+                                 "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup_clusters(empty, docs=docs).collect()}
+    assert out == {0: (0, True), 1: (1, True), 2: (2, True)}
+
+
+def test_dedup_clusters_composes_with_minhash(spark, corpus):
+    """End-to-end near-dup dedup: LSH pairs → clusters → keep list drops
+    the exact duplicate and the near-duplicate, keeps everything else."""
+    from openllm_ocr_annotator_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
+    out = {r.doc_id: r.keep for r in dedup_clusters(pairs, docs=corpus).collect()}
+    assert out[0] is True and out[1] is False       # exact dup of 0
+    assert out[2] is False                          # near dup joins 0's cluster
+    assert out[3] is True and out[4] is True and out[5] is True
+
+
+def test_dedup_clusters_iteration_guard(spark):
+    from openllm_ocr_annotator_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(0, 40)]  # diameter 40 > 2^1 reach
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(_pairs_df(spark, chain), max_iter=1)
+
+
 def test_repetition_score_values(spark):
     from pyspark.sql import functions as F
 

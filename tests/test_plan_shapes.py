@@ -195,6 +195,36 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS pred_b")
 
 
+def test_dedup_clusters_round_bounded_exchanges(spark):
+    """Each min-label propagation round must be a constant-size plan of
+    key-partitioned joins/aggs — no cartesian products, no nested-loop
+    joins, and a bounded exchange count regardless of pair count. This is
+    what makes the iterative clustering viable at 10^12 docs: per-round
+    cost is O(edges) shuffled on uniform ids, times O(log diameter) rounds."""
+    from openllm_ocr_annotator_spark.operators.dedup import _propagate_round
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the 100 TB shape: nothing broadcastable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(_propagate_round(edges, labels))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert _n_exchanges(plan) <= 12, "per-round exchange count must stay constant"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
 def test_pack_sequences_single_exchange(spark):
     """Packing = one window cumsum: exactly one exchange, keyed on the
     stream column — no extra shuffle may creep in."""
