@@ -88,8 +88,21 @@ def _load_raw(path: str, seen: frozenset[str] = frozenset()) -> dict[str, Any]:
     defaults = raw.pop("defaults", [])
     if isinstance(defaults, str):
         defaults = [defaults]
+    if not isinstance(defaults, list):
+        raise ValueError(
+            f"config 'defaults' in {apath} must be a path or list of paths, "
+            f"got {type(defaults).__name__}"
+        )
     merged: dict[str, Any] = {}
     for rel in defaults:
+        if not isinstance(rel, str):
+            # a Hydra-style dict entry ({group: option}) or any other YAML
+            # type would otherwise surface as an opaque TypeError from
+            # os.path.isabs — name the file and the offending entry instead
+            raise ValueError(
+                f"config 'defaults' entry in {apath} must be a relative or "
+                f"absolute path string, got {rel!r}"
+            )
         dpath = rel if os.path.isabs(rel) else os.path.join(os.path.dirname(apath), rel)
         merged = _deep_merge(merged, _load_raw(dpath, seen | {apath}))
     return _deep_merge(merged, raw)

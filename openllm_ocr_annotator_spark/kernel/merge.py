@@ -33,17 +33,19 @@ def extract_span(
 
     ``params``: optional kernel-variant thresholds for ensemble legs
     (keys: strong_words, weak_words, max_link_density). None = defaults.
-    ``fault_marker`` (params key): fault-injection hook — raises when the
-    marker substring appears in the span text. Exists so the poison-pill
-    isolation path (extract_spans(on_error="skip")) is TESTABLE: the
-    kernels are deliberately total functions (property-pinned never-crash),
-    so a real failure needs to be injected to exercise the guard.
+    ``_test.fault_marker`` (params key): fault-injection hook — raises when
+    the marker substring appears in the span text. Exists so the
+    poison-pill isolation path (extract_spans(on_error="skip")) is
+    TESTABLE: the kernels are deliberately total functions (property-pinned
+    never-crash), so a real failure needs to be injected to exercise the
+    guard. The ``_test.`` namespace keeps ordinary caller config (e.g. an
+    ensemble leg's params dict) from ever triggering it by key collision.
     """
-    if params and "fault_marker" in params:
-        m = params["fault_marker"]
+    if params and "_test.fault_marker" in params:
+        m = params["_test.fault_marker"]
         if m and text and m in text:
             raise RuntimeError(f"fault injection: marker {m!r} in span text")
-        params = {k: v for k, v in params.items() if k != "fault_marker"}
+        params = {k: v for k, v in params.items() if k != "_test.fault_marker"}
     k = (kind or "").lower()
     if k == "html":
         out = []

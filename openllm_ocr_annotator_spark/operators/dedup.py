@@ -67,6 +67,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.8, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
     max_df: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (inverted-index join, not cross).
 
@@ -94,9 +95,10 @@ def ngram_jaccard_pairs(
     sides of the self-join) and recomputing the explode 3× was ~10% of
     suite wall-time. The cache lives until Spark LRU-evicts it (short-lived
     driver sessions — the common case — never notice); long-lived drivers
-    can release it explicitly via the ``cached_deps`` attribute on the
-    returned DataFrame (``for d in out.cached_deps: d.unpersist()``) once
-    the result has been consumed.
+    pass ``caches=[]`` to receive the persisted gram relation and
+    unpersist it once the result has been consumed (a caller-owned list
+    survives further transformations of the returned frame, unlike a
+    DataFrame attribute).
     """
     from pyspark import StorageLevel
 
@@ -136,7 +138,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    out.cached_deps = [grams]
+    if caches is not None:
+        caches.append(grams)
     return out
 
 

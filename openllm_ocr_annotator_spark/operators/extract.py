@@ -141,7 +141,11 @@ def extract_spans(
     return docs.select("doc_id", "spans").mapInArrow(kernel, schema=EXTRACTED_SCHEMA)
 
 
-def extract_spans_wide(docs: DataFrame, renumber_buckets: int | None = None) -> DataFrame:
+def extract_spans_wide(
+    docs: DataFrame,
+    renumber_buckets: int | None = None,
+    caches: list | None = None,
+) -> DataFrame:
     """Span-level parallel variant: removes the one-doc-per-task floor.
 
     ``extract_spans`` processes a document's spans serially inside one task
@@ -177,6 +181,13 @@ def extract_spans_wide(docs: DataFrame, renumber_buckets: int | None = None) -> 
     (it feeds both the count rollup and the join) plus two extra exchanges,
     so it stays opt-in for corpora whose single-doc OUTPUT dominates a
     task.
+
+    ``caches``: pass a list to receive the persisted intermediate
+    DataFrames (only the bucketed-renumber path persists one); the caller
+    unpersists them after consuming the result. A caller-owned list
+    survives any further transformation of the returned frame — unlike an
+    attribute on the DataFrame object, which vanishes on the first
+    ``.filter``/``.select``.
     """
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -287,7 +298,8 @@ def extract_spans_wide(docs: DataFrame, renumber_buckets: int | None = None) -> 
             (F.col("_base") + F.col("_local") - 1).cast("int").alias("offset"),
         )
     )
-    out.cached_deps = [items]
+    if caches is not None:
+        caches.append(items)
     return out
 
 
@@ -326,6 +338,7 @@ def lineage_metrics(extracted: DataFrame) -> DataFrame:
 def ensemble_extract(
     docs: DataFrame,
     legs: list[tuple[str, float, dict | None]],
+    caches: list | None = None,
 ) -> DataFrame:
     """SURVEY §7.0 ensemble line: N extractor VARIANTS vote per document.
 
@@ -343,8 +356,10 @@ def ensemble_extract(
     persisted (memory-and-disk) because it is consumed twice — by the digest
     aggregation and by the winner join; without it each leg's kernel (the
     most expensive stage in the engine) would run 2×. The cache lives until
-    Spark LRU-evicts it; long-lived drivers can release it via the
-    ``cached_deps`` attribute on the returned DataFrame once consumed.
+    Spark LRU-evicts it; long-lived drivers pass ``caches=[]`` to receive
+    the persisted union and unpersist it once the result is consumed (a
+    caller-owned list survives further transformations of the returned
+    frame, unlike a DataFrame attribute).
     """
     from pyspark import StorageLevel
 
@@ -386,7 +401,8 @@ def ensemble_extract(
     out = tagged.join(winners, ["doc_id", "leg"]).select(
         "doc_id", "kind", "text", "media_ref", "offset", "consensus_weight"
     )
-    out.cached_deps = [tagged]
+    if caches is not None:
+        caches.append(tagged)
     return out
 
 

@@ -6,14 +6,17 @@ shipping them to the LLM. The engine treats media as opaque ``binary``
 payloads (or ``media_ref`` pointers) with typed metadata, processed by
 Arrow-batched ``mapInPandas`` kernels.
 
-Decode is PLUGGABLE: when PIL is importable AND the input carries a
-``payload`` binary column, ``extract_media_features`` decodes for real
-(one function body swap, covered by a skip-if-no-PIL test). Otherwise it
-falls back to a clearly-marked deterministic fake derived from
-``md5(media_ref)`` — chosen over an arbitrary hash precisely because md5
-hex is reproducible in any SQL dialect, so the driver's DuckDB oracle can
-verify the whole media plumbing end-to-end (geometry columns), not just
-count rows.
+Decode is LAYERED: when the input carries a ``payload`` binary column,
+``extract_media_features`` decodes for REAL — BMP/PPM/GIF via the
+dependency-free header parsers in ``kernel/imagecodec.py`` (run
+unconditionally in CI), anything else via PIL when importable. Rows with a
+NULL payload (or, non-strict, undecodable bytes) fall back to a
+clearly-marked deterministic fake derived from ``md5(media_ref)`` — chosen
+over an arbitrary hash precisely because md5 hex is reproducible in any
+SQL dialect, so the driver's DuckDB oracle can verify the whole media
+plumbing end-to-end (geometry columns), not just count rows. The
+``media_payload_decode`` driver query runs the real leg strict (no fake
+possible) against a geometry oracle.
 
 Scale notes: media bytes dominate row size → keep them out of shuffles
 (extract features first, drop payload), and bound Arrow batches via
@@ -84,6 +87,20 @@ def _pil_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _decode_payload(payload: bytes, kind: str) -> tuple[int, int, int]:
+    """Real decode: dependency-free BMP/PPM/GIF header parse first, PIL for
+    anything else. Raises ValueError when neither can read the bytes."""
+    from ..kernel import imagecodec
+
+    try:
+        width, height, n_frames = imagecodec.decode_geometry(bytes(payload))
+    except ValueError:
+        if not HAS_PIL:
+            raise
+        return _pil_decode(payload, kind)
+    return width, height, 1 if kind == "image" else n_frames
+
+
 def _fake_feature(media_ref: str) -> list[float]:
     """STUB — deterministic fake embedding; real impl: a vision encoder."""
     hd = hashlib.md5((media_ref or "").encode("utf-8")).hexdigest()
@@ -94,30 +111,46 @@ def _fake_feature(media_ref: str) -> list[float]:
 def extract_media_features(media_rows: DataFrame, strict: bool = False) -> DataFrame:
     """(doc_id, media_ref, kind[, payload]) → decoded metadata + feature vector.
 
-    When the input carries a ``payload`` binary column and PIL is importable,
-    frames decode for real; otherwise the md5-based fake stands in.
-    ``strict=True`` raises NotImplementedError at plan-execution time when no
-    real decoder is available — the behavior a production deployment wants,
-    rather than silently fake features.
+    When the input carries a ``payload`` binary column, frames decode for
+    real (``_decode_payload``: BMP/PPM/GIF dependency-free, PIL for other
+    formats); rows with a NULL payload — and, non-strict, undecodable bytes
+    — use the md5-based fake. ``strict=True`` means NO fabricated geometry,
+    the behavior a production deployment wants: it raises at plan-execution
+    time, naming the actual missing prerequisite (no payload column / NULL
+    payload / bytes neither the builtin parsers nor PIL can read).
     """
     has_payload = "payload" in media_rows.columns
-    use_real = has_payload and HAS_PIL
+
+    def _strict_decode(ref: str, kind: str, payload) -> tuple[int, int, int]:
+        if payload is None:
+            # a NULL payload (fetch failure) must fail loudly
+            raise ValueError(f"strict media decode: NULL payload for {ref!r}")
+        try:
+            return _decode_payload(payload, kind)
+        except ValueError as e:
+            hint = "" if HAS_PIL else " (PIL not importable in this environment)"
+            raise ValueError(f"strict media decode failed for {ref!r}: {e}{hint}") from e
+
+    def _lenient_decode(ref: str, kind: str, payload) -> tuple[int, int, int]:
+        if payload is not None:
+            try:
+                return _decode_payload(payload, kind)
+            except ValueError:
+                pass
+        return _fake_decode(ref, kind)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict and not use_real:
-            raise NotImplementedError(
-                "media decode requires PIL/ffmpeg; not available in this container"
+        if strict and not has_payload:
+            raise ValueError(
+                "strict media decode requires a 'payload' binary column; "
+                "the input carries none — join payload bytes in (or drop "
+                "strict=True to use the md5 fake geometry)"
             )
+        decode = _strict_decode if strict else _lenient_decode
         for pdf in batches:
-            if use_real:
-                if strict and pdf["payload"].isna().any():
-                    # strict means NO fabricated geometry, per-row included:
-                    # a NULL payload (fetch failure) must fail loudly, not
-                    # silently fall back to the md5 fake
-                    bad = pdf.loc[pdf["payload"].isna(), "media_ref"].iloc[0]
-                    raise ValueError(f"strict media decode: NULL payload for {bad!r}")
+            if has_payload:
                 meta = [
-                    _pil_decode(p, k) if p is not None else _fake_decode(r, k)
+                    decode(r, k, p)
                     for r, k, p in zip(pdf["media_ref"], pdf["kind"], pdf["payload"])
                 ]
             else:

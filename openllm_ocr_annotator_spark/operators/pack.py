@@ -4,15 +4,21 @@ Not in the reference (its export unit is one JSON per document) — added as
 first-class engine capability for the 100 TB training-data case, where the
 export unit is a token-budgeted shard, not a file per doc:
 
-- ``pack_sequences``: contiguous greedy packing — within each stream
+- ``pack_sequences``: contiguous BOUNDARY packing — within each stream
   (default: ``source``), documents are taken in deterministic ``doc_id``
-  order and appended to the current pack until the cumulative token count
-  crosses the budget, then a new pack starts. Expressed as ONE window
-  cumulative sum (map-side partial agg + a single hash exchange on the
-  stream key): pack_id = floor((cumsum - tokens) / budget), i.e. a pack
-  ends when the running total crosses a budget boundary (the crossing doc
-  overflows its pack rather than splitting — whole docs only, the same
-  contract most LLM pretraining packers use for document-atomic packing).
+  order and assigned pack_id = floor(exclusive-cumsum / budget), i.e. a
+  doc belongs to the pack its STARTING token offset falls in. Expressed as
+  ONE window cumulative sum (map-side partial agg + a single hash exchange
+  on the stream key). This is fixed-boundary semantics, NOT greedy
+  reset-on-overflow: a doc that crosses a budget boundary overflows its
+  pack AND its excess consumes the next pack's budget (budget=100, tokens
+  [150, 60, 60] → packs 0/1/2, whereas a greedy-reset packer would give
+  0/1/1), and a doc spanning k boundaries advances pack_id by k, so ids
+  are monotone within a stream but NOT dense. The trade-off is explicit:
+  greedy reset is a sequential recurrence (each boundary depends on the
+  previous reset point) that no closed-form window expression computes,
+  while boundary packing is one shuffle at any scale; fill-level skew
+  between the two is at most one document per pack.
 - ``corpus_profile``: per-source corpus statistics (count, token/char sums,
   mean/min/max/median) — the profiling pass every curation run starts with.
 
@@ -36,10 +42,14 @@ def pack_sequences(
     stream_col: str = "source",
     order_col: str = "doc_id",
 ) -> DataFrame:
-    """Assign each document a pack_id within its stream (greedy, in order).
+    """Assign each document a pack_id within its stream (boundary packing).
 
     Input: one row per document with a precomputed token count.
-    Output: input columns + ``pack_id`` (0-based within stream).
+    Output: input columns + ``pack_id`` — floor(exclusive-cumsum/budget):
+    starts at 0 per stream, monotone non-decreasing, and NOT guaranteed
+    dense (a doc spanning k budget boundaries advances the id by k; its
+    excess eats the next pack's budget — see the module docstring for the
+    boundary-vs-greedy-reset contract).
     """
     w = Window.partitionBy(stream_col).orderBy(order_col)
     cum = F.sum(F.col(token_col)).over(w)

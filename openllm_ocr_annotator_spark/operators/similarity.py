@@ -87,23 +87,36 @@ def lsh_bucket_ids(
     n_tables, n_planes, _ = planes.shape
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fully vectorized (same np.repeat/np.tile shape as dedup.band_kernel):
+        # codes per table via one matmul; multi-probe = XOR broadcast over the
+        # plane-bit axis — no per-row Python loop anywhere in the ANN path
+        xor_bits = 1 << np.arange(n_planes, dtype=np.int64)  # (planes,)
         for pdf in batches:
             if not len(pdf):  # np.stack([]) raises on empty Arrow batches
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            ids, buckets = [], []
+            ids_arr = pdf[id_col].to_numpy()
+            id_parts, bucket_parts = [], []
             for t in range(n_tables):
                 bits = (mat @ planes[t].T) > 0  # (n, planes)
-                codes = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
-                base = t << n_planes
-                for did, code in zip(pdf[id_col], codes):
-                    ids.append(did)
-                    buckets.append(base | int(code))
-                    if multi_probe:
-                        for p in range(n_planes):
-                            ids.append(did)
-                            buckets.append(base | (int(code) ^ (1 << p)))
-            yield pd.DataFrame({"vec_id": ids, "bucket": buckets})
+                codes = (bits * xor_bits).sum(axis=1).astype(np.int64)  # (n,)
+                base = np.int64(t << n_planes)
+                if multi_probe:
+                    # (n, 1+planes): exact code + all hamming-1 neighbors
+                    probes = np.concatenate(
+                        [codes[:, None], codes[:, None] ^ xor_bits[None, :]], axis=1
+                    )
+                    id_parts.append(np.repeat(ids_arr, 1 + n_planes))
+                    bucket_parts.append((base | probes).reshape(-1))
+                else:
+                    id_parts.append(ids_arr)
+                    bucket_parts.append(base | codes)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(id_parts),
+                    "bucket": np.concatenate(bucket_parts),
+                }
+            )
 
     return spread_partitions(vectors.select(id_col, vec_col), id_col).mapInPandas(
         kernel, schema="vec_id long, bucket long"

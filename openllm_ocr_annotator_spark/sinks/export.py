@@ -129,6 +129,15 @@ def sized_split(
     ``split_column``'s hash buckets, which need no count.
     """
     total = df.count()
+    if total > 10_000_000:
+        # guardrail: the global rank window below is a ONE-task sort by
+        # design (small-corpus contract). Reaching it with a corpus-scale
+        # frame means the caller wanted split_column's hash buckets.
+        raise ValueError(
+            f"sized_split is the small-corpus contract path (single-task "
+            f"global sort); got {total} rows — use split_column for "
+            f"corpus-scale splits"
+        )
     holdout_ratio = test + validation
     if total < 2 or holdout_ratio <= 0 or holdout_ratio >= 1:
         return df.withColumn("split", F.lit("train"))

@@ -165,3 +165,69 @@ def synthesize_documents(
             yield make_documents_pdf(pdf, replicate=replicate)
 
     return flat.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+
+
+MEDIA_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def media_payload_row(doc_id: int, source: str) -> tuple[str, str, str, bytes]:
+    """Pure-Python rule for one synthetic media payload: REAL bytes in a
+    real format (BMP / PPM / animated GIF / P6 frame stream — encoders in
+    kernel/imagecodec.py), geometry a pure function of doc_id so the
+    driver's DuckDB oracle can restate it:
+
+        width    = 4 + doc_id % 29
+        height   = 3 + doc_id % 17
+        kind     = video if doc_id % 3 == 0 else image
+        n_frames = 1 + doc_id % 6 for video, 1 for image
+
+    Format varies (images: BMP for even ids, single-frame PPM for odd;
+    videos: GIF when doc_id % 6 == 0, concatenated-P6 stream otherwise) so
+    every parser is exercised by the driver check, while the geometry
+    formula stays uniform across formats.
+    """
+    from .kernel import imagecodec as C
+
+    width = 4 + doc_id % 29
+    height = 3 + doc_id % 17
+    if doc_id % 3 == 0:
+        n_frames = 1 + doc_id % 6
+        if doc_id % 6 == 0:
+            ext, payload = "gif", C.encode_gif(width, height, n_frames)
+        else:
+            ext, payload = "ppms", C.encode_ppm_stream(width, height, n_frames)
+        kind = "video"
+    else:
+        if doc_id % 2 == 0:
+            ext, payload = "bmp", C.encode_bmp(width, height)
+        else:
+            ext, payload = "ppm", C.encode_ppm(width, height)
+        kind = "image"
+    ref = f"media://{source}/{doc_id}.{ext}"
+    return str(doc_id), ref, kind, payload
+
+
+def synthesize_media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → (doc_id, media_ref, kind, payload) with REAL
+    encoded bytes (narrow mapInPandas, no shuffle). Feeds the strict
+    real-decode driver query ``media_payload_decode``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                media_payload_row(int(d), str(s))
+                for d, s in zip(pdf["doc_id"], pdf["source"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "kind", "payload"]
+            )
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    return flat.mapInPandas(gen, schema=MEDIA_PAYLOAD_SCHEMA)

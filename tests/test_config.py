@@ -117,3 +117,23 @@ def test_defaults_cycle_and_unknown_key_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="unknown config key"):
         load_config(str(tmp_path / "job2.yaml"))
+
+
+def test_defaults_non_string_entry_named_error(tmp_path):
+    """Hydra-style dict entries (defaults: [{group: option}]) must raise a
+    config error naming the file and entry, not an opaque TypeError."""
+    import pytest
+
+    from openllm_ocr_annotator_spark.config import load_config
+
+    (tmp_path / "d1.yaml").write_text(
+        "defaults:\n  - {group: option}\ninput_path: /x\ntable_root: /y\n"
+    )
+    with pytest.raises(ValueError, match=r"defaults.*entry.*d1\.yaml.*group"):
+        load_config(str(tmp_path / "d1.yaml"))
+
+    (tmp_path / "d2.yaml").write_text(
+        "defaults: {not: a-list}\ninput_path: /x\ntable_root: /y\n"
+    )
+    with pytest.raises(ValueError, match=r"defaults.*d2\.yaml.*list"):
+        load_config(str(tmp_path / "d2.yaml"))

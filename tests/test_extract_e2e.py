@@ -305,7 +305,7 @@ def test_poison_document_isolation(spark):
         ("doc_ok_2", [{"kind": "text", "text": "more healthy content", "media_ref": "", "offset": 0}]),
     ]
     docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
-    params = {"fault_marker": "POISONPILL"}
+    params = {"_test.fault_marker": "POISONPILL"}
 
     with _pytest.raises(Exception, match="fault injection"):
         extract_spans(docs, params=params).collect()

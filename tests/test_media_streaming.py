@@ -138,30 +138,97 @@ def test_media_payload_column_fake_fallback(spark):
             extract_media_features(with_payload, strict=True).collect()
 
 
-def test_media_real_decode_with_pil(spark):
-    """Real decode path: geometry comes from actual bytes (PIL), the fake
-    only covers NULL payloads. Skipped where PIL is absent."""
-    import pytest as _pytest
-
+def test_media_real_decode_from_payload_bytes(spark):
+    """Real decode path runs UNCONDITIONALLY: geometry comes from actual
+    bytes via the dependency-free BMP/PPM/GIF parsers (PIL covers other
+    formats when importable — exercised inline below, not skipped)."""
+    from openllm_ocr_annotator_spark.kernel import imagecodec as C
     from openllm_ocr_annotator_spark.operators.media import (
         HAS_PIL,
         extract_media_features,
     )
 
-    if not HAS_PIL:
-        _pytest.skip("PIL not available in this container")
-    import io
+    rows = [
+        ("d1", "ref://a.bmp", "image", bytearray(C.encode_bmp(123, 45))),
+        ("d2", "ref://b.ppm", "image", bytearray(C.encode_ppm(17, 9))),
+        ("d3", "ref://c.gif", "video", bytearray(C.encode_gif(31, 22, n_frames=4))),
+        ("d4", "ref://d.ppm", "video", bytearray(C.encode_ppm_stream(8, 6, 5))),
+        # image kind forces n_frames=1 even for a multi-frame container
+        ("d5", "ref://e.gif", "image", bytearray(C.encode_gif(10, 10, n_frames=3))),
+    ]
+    if HAS_PIL:
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    buf = io.BytesIO()
-    Image.new("RGB", (123, 45)).save(buf, format="PNG")
-    rows = [("d1", "ref://real.png", "image", bytearray(buf.getvalue()))]
+        buf = io.BytesIO()
+        Image.new("RGB", (64, 32)).save(buf, format="PNG")
+        rows.append(("d6", "ref://f.png", "image", bytearray(buf.getvalue())))
     df = spark.createDataFrame(
         rows, "doc_id string, media_ref string, kind string, payload binary"
     )
-    got = extract_media_features(df).collect()[0]
-    assert (got.width, got.height, got.n_frames) == (123, 45, 1)
+    # strict: the md5 fake CANNOT stand in for any of these rows
+    got = {r.doc_id: (r.width, r.height, r.n_frames)
+           for r in extract_media_features(df, strict=True).collect()}
+    assert got["d1"] == (123, 45, 1)
+    assert got["d2"] == (17, 9, 1)
+    assert got["d3"] == (31, 22, 4)
+    assert got["d4"] == (8, 6, 5)
+    assert got["d5"] == (10, 10, 1)
+    if HAS_PIL:
+        assert got["d6"] == (64, 32, 1)
+
+
+def test_imagecodec_roundtrip_and_errors():
+    from openllm_ocr_annotator_spark.kernel import imagecodec as C
+
+    assert C.decode_geometry(C.encode_bmp(1, 1)) == (1, 1, 1)
+    assert C.decode_geometry(C.encode_bmp(640, 480)) == (640, 480, 1)
+    assert C.decode_geometry(C.encode_ppm(3, 2)) == (3, 2, 1)
+    assert C.decode_geometry(C.encode_ppm_stream(4, 4, 7)) == (4, 4, 7)
+    assert C.decode_geometry(C.encode_gif(5, 5, 1)) == (5, 5, 1)
+    assert C.decode_geometry(C.encode_gif(65535, 1, 2)) == (65535, 1, 2)
+    # PPM comments and whitespace per the netpbm spec
+    assert C.decode_ppm(b"P6 # c\n# full line\n 2\t3\n255\n" + b"\x00" * 18) == (2, 3, 1)
+    # top-down BMP (negative height)
+    import struct
+
+    bmp = bytearray(C.encode_bmp(6, 4))
+    struct.pack_into("<i", bmp, 22, -4)
+    assert C.decode_bmp(bytes(bmp)) == (6, 4, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        C.decode_geometry(b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(ValueError, match="GIF"):
+        C.decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x99")
+    with _pytest.raises(ValueError):
+        C.encode_gif(70000, 1)
+
+
+def test_media_strict_errors_name_the_prerequisite(spark):
+    """ADVICE fix: strict failures must name the ACTUAL missing piece —
+    no payload column vs NULL payload vs undecodable bytes."""
+    import pytest as _pytest
+
+    from openllm_ocr_annotator_spark.operators.media import extract_media_features
+
+    no_payload = spark.createDataFrame(
+        [("d1", "ref://a.png", "image")],
+        "doc_id string, media_ref string, kind string",
+    )
+    with _pytest.raises(Exception, match="requires a 'payload' binary column"):
+        extract_media_features(no_payload, strict=True).collect()
+
+    undecodable = spark.createDataFrame(
+        [("d1", "ref://a.xyz", "image", bytearray(b"\x00\x01\x02\x03"))],
+        "doc_id string, media_ref string, kind string, payload binary",
+    )
+    with _pytest.raises(Exception, match="strict media decode failed"):
+        extract_media_features(undecodable, strict=True).collect()
+    # non-strict: undecodable bytes fall back to the md5 fake, not a crash
+    row = extract_media_features(undecodable).collect()[0]
+    assert row.width > 0 and row.height > 0
 
 
 def test_resize_guard_triggers_on_mega_frames(spark):
