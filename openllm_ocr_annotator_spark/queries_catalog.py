@@ -1689,10 +1689,27 @@ def q_split_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("tsv_span_sink")
+# The two sink formats are value-checked against committed GOLDEN parquet
+# (repo ./golden/), generated by the PURE-PYTHON oracle chain — NOT by the
+# engine — via scripts/make_goldens.py (synth.make_spans →
+# kernel.merge.extract_document → literal formatting). The goldens pin the
+# driver's comparison scale (sf0.01, the spec'd correctness gate);
+# scripts/verify_contract.py skips these two value compares at other SFs.
+_GOLDEN_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.dirname(__file__)), "golden"
+)
+GOLDEN_ORACLE_SF = "/root/testdata/sf0.01"
+GOLDEN_ORACLE_QUERIES = {"tsv_span_sink", "doc_json_payloads"}
+
+
+@_q(
+    "tsv_span_sink",
+    f"SELECT value FROM read_parquet('{_GOLDEN_DIR}/tsv_span_sink.parquet')",
+)
 def q_tsv_span_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K3: ordered TSV span lines (rows-only: sink format, order-sensitive;
-    ordering pinned by tests/test_resume_sinks.py)."""
+    """K3: ordered TSV span lines. Value-checked against the pure-Python
+    golden (see scripts/make_goldens.py); ordering additionally pinned by
+    tests/test_resume_sinks.py (the driver canon is order-insensitive)."""
     from .operators.extract import extract_spans
     from .sinks.export import tsv_span_lines
 
@@ -1700,10 +1717,14 @@ def q_tsv_span_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsv_span_lines(extract_spans(docs))
 
 
-@_q("doc_json_payloads")
+@_q(
+    "doc_json_payloads",
+    f"SELECT doc_id, payload FROM read_parquet('{_GOLDEN_DIR}/doc_json_payloads.parquet')",
+)
 def q_doc_json_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1: per-document JSON payload rows (rows-only: JSON text formatting
-    is engine-specific; payload content pinned by tests)."""
+    """K1: per-document JSON payload rows, value-checked against the
+    pure-Python golden (Jackson-compact JSON == json.dumps with ':'/','
+    separators — byte-equality verified at generation time)."""
     from .operators.extract import extract_spans, renest_spans
     from .sinks.export import doc_json_payload
 

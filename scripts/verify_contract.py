@@ -92,8 +92,21 @@ def check_dtypes(name, sdf, arrow_tbl, fails) -> bool:
     return ok
 
 
+from openllm_ocr_annotator_spark.queries_catalog import (
+    GOLDEN_ORACLE_QUERIES,
+    GOLDEN_ORACLE_SF,
+)
+
 fails = []
 for name, sql in m.oracle_sql().items():
+    if name in GOLDEN_ORACLE_QUERIES and os.path.realpath(SF_DIR) != os.path.realpath(
+        GOLDEN_ORACLE_SF
+    ):
+        # golden parquet pins the driver's sf0.01 gate; at other scales the
+        # value compare is meaningless — fall back to a rows-only probe
+        cnt = m.queries()[name](spark, SF_DIR).count()
+        print(f"{name:28s} GOLDEN-SKIP at {SF_DIR} ({cnt} rows)")
+        continue
     sdf = m.queries()[name](spark, SF_DIR)
     cols = sorted(sdf.columns)
     srows = [row.asDict() for row in sdf.collect()]
