@@ -13,6 +13,12 @@ the same plan a production run over an Iceberg documents table executes.
 Scaling evidence (N vs 4N cores) is produced by scripts/scaling_bench.py,
 which reuses ``prepare_input`` / ``run_extract_bench`` at two parallelism
 levels on the identical input directory.
+
+Trust model: every number is best-of-3 with a dispersion guard
+(``timed_best``): trials disagreeing by >2× trigger up to 3 re-measures,
+and queries still noisy after that are listed in the output's ``noisy``
+field with per-query spreads in ``trial_spread`` — so a reader can tell an
+engine regression from host interference without re-running anything.
 """
 
 from __future__ import annotations
@@ -61,6 +67,36 @@ def run_extract_bench(spark, input_dir: str, num_partitions: int):
     return n_docs, stats.spans, dt
 
 
+def timed_best(
+    run,
+    trials: int = 3,
+    spread_limit: float = 2.0,
+    max_extra: int = 3,
+) -> tuple[float, float, bool]:
+    """Best-of-N with a dispersion guard.
+
+    The sandbox box shows ±2× (occasionally ~12×) noisy-neighbor spikes; a
+    recorded number whose trials disagree by more than ``spread_limit`` is
+    measuring interference, not the engine (the round-2 bench file recorded
+    6-14× outliers on three queries that re-measured clean in isolation).
+    So: run ``trials`` times; while max/min exceeds the limit, re-measure
+    (up to ``max_extra`` extra trials — each later trial runs against a
+    quieter window with higher probability) and keep the min. Returns
+    (best_seconds, final_spread, still_noisy).
+    """
+    times = [run() for _ in range(trials)]
+    extra = 0
+    while max(times) / max(min(times), 1e-9) > spread_limit and extra < max_extra:
+        times.append(run())
+        extra += 1
+    best = min(times)
+    # spread over the BEST ``trials`` measurements: one early spike must not
+    # keep flagging a query whose later re-measures agree
+    settled = sorted(times)[:trials]
+    spread = max(settled) / max(min(settled), 1e-9)
+    return best, round(spread, 2), spread > spread_limit
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -86,21 +122,37 @@ def main() -> None:
         ).save()
 
         input_dir = prepare_input(spark, sf_dir, replicate, work_dir)
-        # best-of-2: the sandbox box shows ±2× noisy-neighbor variance; a
-        # single cold trial measures interference, not the engine.
+        noisy: list[str] = []
+        spreads: dict[str, float] = {}
+
         # Headline = the default plan: shuffle-free extraction over the scan
         # partitioning (extract_pipeline with num_partitions=None).
-        n_docs, n_spans, dt = run_extract_bench(spark, input_dir, num_partitions=None)
-        _, _, dt2 = run_extract_bench(spark, input_dir, num_partitions=None)
-        dt = min(dt, dt2)
+        n_docs_box: list[int] = []
+        n_spans_box: list[int] = []
+
+        def run_headline():
+            n, s, dt = run_extract_bench(spark, input_dir, num_partitions=None)
+            n_docs_box[:] = [n]
+            n_spans_box[:] = [s]
+            return dt
+
+        dt, sp, bad = timed_best(run_headline)
+        n_docs, n_spans = n_docs_box[0], n_spans_box[0]
         timings["extract_e2e"] = round(dt, 3)
+        spreads["extract_e2e"] = sp
+        if bad:
+            noisy.append("extract_e2e")
         docs_per_sec = round(n_docs / dt, 1)
         # salted variant: full repartition before the kernel — the skew
         # insurance for corpora whose mega-docs cluster in scan splits;
         # the delta prices that insurance (a full-corpus shuffle)
-        _, _, sdt = run_extract_bench(spark, input_dir, num_partitions=cpus * 2)
-        _, _, sdt2 = run_extract_bench(spark, input_dir, num_partitions=cpus * 2)
-        timings["extract_salted"] = round(min(sdt, sdt2), 3)
+        sdt, sp, bad = timed_best(
+            lambda: run_extract_bench(spark, input_dir, num_partitions=cpus * 2)[2]
+        )
+        timings["extract_salted"] = round(sdt, 3)
+        spreads["extract_salted"] = sp
+        if bad:
+            noisy.append("extract_salted")
 
         queries = entry.queries()
         for name in [
@@ -111,6 +163,9 @@ def main() -> None:
             "dedup_exact",
             "dedup_minhash_lsh",
             "dedup_ngram_jaccard",
+            "dedup_simhash",
+            "dedup_clusters",
+            "decontaminate",
             "similarity_topk",
             "similarity_lsh_topk",
             "embedding_near_dups",
@@ -119,21 +174,31 @@ def main() -> None:
             "corpus_curation",
             "training_pipeline",
             "sessionize",
+            "windowed_rollup",
             "pack_sequences",
+            "pack_sequences_bpe",
             "media_features",
+            "media_payload_decode",
+            "extract_spans_wide",
             "ensemble_extract",
             "split_assignment",
         ]:
-            best = float("inf")
-            for _ in range(2):
+
+            def run_query(name=name):
                 t0 = time.perf_counter()
                 df = queries[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                elapsed = time.perf_counter() - t0
                 # some operators cache intermediates (LSH signatures); don't
                 # let one query's cache skew the next query's memory budget
                 spark.catalog.clearCache()
+                return elapsed
+
+            best, sp, bad = timed_best(run_query)
             timings[name] = round(best, 3)
+            spreads[name] = sp
+            if bad:
+                noisy.append(name)
 
         total = round(sum(timings.values()), 3)
         # attach the latest N-vs-4N scaling evidence (scripts/scaling_bench.py)
@@ -164,9 +229,14 @@ def main() -> None:
                     "extract_docs": n_docs,
                     "extract_spans": n_spans,
                     "extract_docs_per_sec": docs_per_sec,
-                    "extract_salted_docs_per_sec": round(n_docs / min(sdt, sdt2), 1),
+                    "extract_salted_docs_per_sec": round(n_docs / sdt, 1),
                     "scaling": scaling,
                     "cpus": cpus,
+                    # dispersion audit: per-query max/min over the settled
+                    # best-of-3 window; names in "noisy" still exceeded 2×
+                    # after re-measures — treat those rows as unreliable
+                    "trial_spread": spreads,
+                    "noisy": noisy,
                 }
             )
         )

@@ -82,4 +82,31 @@ pq.write_table(
     ),
     os.path.join(OUT_DIR, "doc_json_payloads.parquet"),
 )
-print(f"golden: {len(tsv_lines)} tsv lines, {len(json_rows)} json payloads → {OUT_DIR}")
+# --- real-BPE token counts (kernel/bpe.py, pure Python — no Spark) ---------
+# trained with the SAME deterministic rule as operators/tokenize.
+# train_bpe_from_corpus: first 200 docs by doc_id, 200 merges.
+from openllm_ocr_annotator_spark.kernel import bpe as B  # noqa: E402
+
+flat_all = pq.read_table(
+    f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+).to_pandas().sort_values("doc_id")
+sample = [str(t) for t in flat_all.head(200)["text"]]
+ranks = B.merge_ranks(B.train_bpe(B.word_vocab(sample), 200))
+cache: dict[str, int] = {}
+counts = [
+    (int(d), B.count_tokens(str(t), ranks, cache))
+    for d, t in zip(flat_all["doc_id"], flat_all["text"])
+]
+pq.write_table(
+    pa.table(
+        {
+            "doc_id": pa.array([c[0] for c in counts], pa.int64()),
+            "n_tokens": pa.array([c[1] for c in counts], pa.int64()),
+        }
+    ),
+    os.path.join(OUT_DIR, "bpe_token_counts.parquet"),
+)
+print(
+    f"golden: {len(tsv_lines)} tsv lines, {len(json_rows)} json payloads, "
+    f"{len(counts)} bpe counts → {OUT_DIR}"
+)

