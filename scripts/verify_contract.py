@@ -107,9 +107,13 @@ for name, sql in m.oracle_sql().items():
         cnt = m.queries()[name](spark, SF_DIR).count()
         print(f"{name:28s} GOLDEN-SKIP at {SF_DIR} ({cnt} rows)")
         continue
+    import time
+
+    t0 = time.perf_counter()
     sdf = m.queries()[name](spark, SF_DIR)
     cols = sorted(sdf.columns)
     srows = [row.asDict() for row in sdf.collect()]
+    q_secs = time.perf_counter() - t0
     otbl = con.execute(sql).arrow()
     ocols = list(otbl.schema.names)
     orows = otbl.to_pylist()
@@ -124,12 +128,23 @@ for name, sql in m.oracle_sql().items():
     if a != b:
         diff = [x for x in a[:5] if x not in b[:5]]
         fails.append((name, f"{len(a)} vs {len(b)} rows; sample {diff[:2]}"))
-    print(f"{name:28s} {status}  ({len(a)} rows)")
+    print(f"{name:28s} {status}  ({len(a)} rows, {q_secs:.1f}s)")
 
 rows_only = [q for q in m.queries() if q not in m.oracle_sql()]
+import time as _t
+
 for name in rows_only:
+    _t0 = _t.perf_counter()
     cnt = m.queries()[name](spark, SF_DIR).count()
-    print(f"{name:28s} ROWS-ONLY ({cnt} rows)")
+    print(f"{name:28s} ROWS-ONLY ({cnt} rows, {_t.perf_counter() - _t0:.1f}s)")
+
+# every catalog entry must have produced a result line above — a query
+# silently absent from the record (the round-2 driver hole) fails here
+checked = set(m.oracle_sql().keys()) | set(rows_only)
+missing = set(m.queries().keys()) - checked
+if missing:
+    fails.append(("catalog", f"queries with no result row: {sorted(missing)}"))
+print(f"checked {len(checked)}/{len(m.queries())} catalog queries")
 
 print("FAILURES:", fails if fails else "none")
 spark.stop()
