@@ -413,6 +413,33 @@ def dedup_clusters(
     return clustered.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Full near-dup dedup pass: pairs → clusters → kept corpus rows.
+
+    The convenience composition a user actually runs: resolve the pair
+    relation (from any of ngram_jaccard_pairs / minhash_lsh_pairs /
+    simhash_pairs) into connected components via ``dedup_clusters``, then
+    keep exactly one canonical document per cluster (min doc id) plus all
+    singletons. Output = input columns + ``cluster_id`` (the kept doc IS
+    the canonical, so cluster_id records which group it represents).
+
+    Scale shape: the cluster resolution works on the pair-touched subset
+    only; the final filter is one join of the corpus against the keep list
+    on doc id (broadcastable when near-dup rate is low, sort-merge
+    otherwise — the planner's call).
+    """
+    clusters = dedup_clusters(pairs, docs=docs, id_col=id_col, max_iter=max_iter)
+    keep = clusters.filter(F.col("keep")).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    return docs.join(keep, id_col)
+
+
 def decontaminate(
     train: DataFrame, benchmark: DataFrame, n: int = 5,
     id_col: str = "doc_id", text_col: str = "text",

@@ -241,6 +241,24 @@ def test_dedup_clusters_composes_with_minhash(spark, corpus):
     assert out[3] is True and out[4] is True and out[5] is True
 
 
+def test_dedup_corpus_keeps_one_canonical_per_cluster(spark, corpus):
+    from openllm_ocr_annotator_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
+    kept = {r.doc_id: r.cluster_id for r in dedup_corpus(corpus, pairs).collect()}
+    # docs 0/1/2 form one near-dup cluster → only canonical 0 survives
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert kept[0] == 0
+    # singletons survive as their own cluster
+    assert kept[3] == 3 and kept[4] == 4 and kept[5] == 5
+    # all input columns preserved plus cluster_id
+    out_cols = dedup_corpus(corpus, pairs).columns
+    assert set(out_cols) == {"doc_id", "text", "cluster_id"}
+
+
 def test_dedup_clusters_iteration_guard(spark):
     from openllm_ocr_annotator_spark.operators.dedup import dedup_clusters
 
