@@ -165,6 +165,7 @@ def main() -> None:
             "dedup_ngram_jaccard",
             "dedup_simhash",
             "dedup_clusters",
+            "dedup_corpus",
             "decontaminate",
             "similarity_topk",
             "similarity_lsh_topk",
