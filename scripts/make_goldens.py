@@ -1,11 +1,18 @@
 #!/usr/bin/env python
-"""Generate golden parquet for the two engine-specific sink formats.
+"""Generate golden parquet for every query whose semantics DuckDB cannot
+restate in SQL (sink formats, the extraction kernel, BPE counts,
+MinHash/SimHash/LSH pairs, ANN top-k).
 
-The goldens are produced by the PURE-PYTHON oracle chain (synth.make_spans →
-kernel.merge.extract_document → literal string formatting) — NOT by the
-Spark engine — so the driver's DuckDB oracle for ``tsv_span_sink`` and
-``doc_json_payloads`` becomes a real value check instead of rows-only: the
-oracle SQL just scans the committed golden files.
+Every golden is produced by a SEQUENTIAL PURE-PYTHON chain (synth.make_spans
+→ kernel extract_document / kernel.bpe / kernel.dedup → literal
+formatting) — never by the Spark engine — so the driver's DuckDB oracles
+for these queries are real value checks instead of rows-only: the oracle
+SQL just scans the committed golden files. What the check pins is the
+DISTRIBUTED side: mapInArrow plumbing, ordering windows, banding joins,
+bucket caps, vote aggregation — everything between the shared kernel and
+the final rows. Cross-engine float hazards are handled at generation time
+(cosine folds replicate Spark's left-fold addition order; the ensemble
+vote is tie-free by construction, asserted below).
 
 Regenerate (only needed if the synthesis rules or sink formats change):
 
@@ -109,4 +116,241 @@ pq.write_table(
 print(
     f"golden: {len(tsv_lines)} tsv lines, {len(json_rows)} json payloads, "
     f"{len(counts)} bpe counts → {OUT_DIR}"
+)
+
+# ---------------------------------------------------------------------------
+# Extraction-family goldens: the span sequences themselves (pure-Python
+# synth + kernel chain, sequential — no Spark). One golden serves
+# extract_spans, extract_spans_wide (row-identical by contract), and
+# streaming_increment (the committed table holds the same rows).
+# ---------------------------------------------------------------------------
+span_rows: list[tuple[str, str, str, str, int]] = []
+for doc_id, spans in zip(docs["doc_id"], docs["spans"]):
+    for s in extract_document(list(spans)):
+        span_rows.append((doc_id, s["kind"], s["text"], s["media_ref"], s["offset"]))
+pq.write_table(
+    pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in span_rows], pa.string()),
+            "kind": pa.array([r[1] for r in span_rows], pa.string()),
+            "text": pa.array([r[2] for r in span_rows], pa.string()),
+            "media_ref": pa.array([r[3] for r in span_rows], pa.string()),
+            "offset": pa.array([r[4] for r in span_rows], pa.int32()),
+        }
+    ),
+    os.path.join(OUT_DIR, "extract_spans.parquet"),
+)
+
+# --- ensemble_extract: per-doc weighted vote over leg span sequences -------
+from openllm_ocr_annotator_spark.kernel.merge import extract_span  # noqa: E402
+
+LEGS = [
+    ("default", 1.0, None),
+    ("default_twin", 1.0, None),
+    ("strict", 1.5, {"strong_words": 25, "max_link_density": 0.15}),
+]
+
+
+def _extract_with_params(spans, params):
+    ordered = sorted(
+        spans,
+        key=lambda s: (
+            s.get("offset") or 0,
+            s.get("kind") or "",
+            s.get("media_ref") or "",
+            s.get("text") or "",
+        ),
+    )
+    out = []
+    for s in ordered:
+        for kind, text, ref in extract_span(
+            s.get("kind") or "", s.get("text") or "", s.get("media_ref") or "", params
+        ):
+            out.append((kind, text, ref, len(out)))
+    return tuple(out)
+
+
+ens_rows: list[tuple[str, str, str, str, int, float]] = []
+total_w = sum(w for _, w, _ in LEGS)
+for doc_id, spans in zip(docs["doc_id"], docs["spans"]):
+    by_seq: dict[tuple, list[tuple[str, float]]] = {}
+    for name, w, params in LEGS:
+        seq = _extract_with_params(list(spans), params)
+        by_seq.setdefault(seq, []).append((name, w))
+    if not any(seq for seq in by_seq):  # empty doc: every leg emits nothing
+        continue
+    scores = {seq: sum(w for _, w in legs) for seq, legs in by_seq.items()}
+    # with weights (1.0 twin-legs + 1.5) ties are impossible: twins always
+    # agree, so scores are {3.5} or {2.0, 1.5} — assert the invariant that
+    # makes the pure vote reproducible without Spark's digest tie-break
+    ranked = sorted(scores.values(), reverse=True)
+    assert len(ranked) == 1 or ranked[0] != ranked[1], f"vote tie in {doc_id}"
+    win_seq = max(scores, key=lambda s: scores[s])
+    consensus = scores[win_seq] / total_w
+    if not win_seq:
+        continue  # winner is the empty sequence → no output rows
+    for kind, text, ref, off in win_seq:
+        ens_rows.append((doc_id, kind, text, ref, off, consensus))
+pq.write_table(
+    pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in ens_rows], pa.string()),
+            "kind": pa.array([r[1] for r in ens_rows], pa.string()),
+            "text": pa.array([r[2] for r in ens_rows], pa.string()),
+            "media_ref": pa.array([r[3] for r in ens_rows], pa.string()),
+            "offset": pa.array([r[4] for r in ens_rows], pa.int32()),
+            "consensus_weight": pa.array([r[5] for r in ens_rows], pa.float64()),
+        }
+    ),
+    os.path.join(OUT_DIR, "ensemble_extract.parquet"),
+)
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH / SimHash pair goldens (kernel/dedup.py pure functions,
+# replaying the operator's banding + bucket-cap + threshold logic
+# sequentially; batch≡per-doc kernel parity is pytest-pinned).
+# ---------------------------------------------------------------------------
+import numpy as np  # noqa: E402
+
+from openllm_ocr_annotator_spark.kernel import dedup as K  # noqa: E402
+
+doc_ids = [int(d) for d in flat_all["doc_id"]]
+texts = [str(t) for t in flat_all["text"]]
+
+# minhash_lsh_pairs(threshold=0.5, num_perm=64, num_bands=16, cap=1000)
+a_p, b_p = K.perm_params(64, 42)
+sigs = {d: K.minhash_signature(K.shingle_hashes(t, 3), a_p, b_p)
+        for d, t in zip(doc_ids, texts)}
+buckets: dict[tuple[int, int], list[int]] = {}
+for d in doc_ids:
+    for band_idx, bh in enumerate(K.band_hashes(sigs[d], 16)):
+        buckets.setdefault((band_idx, int(bh)), []).append(d)
+cand = set()
+for members in buckets.values():
+    if len(members) > 1000:
+        continue  # max_bucket_size drop, same as the operator
+    ms = sorted(members)
+    for i in range(len(ms)):
+        for j in range(i + 1, len(ms)):
+            cand.add((ms[i], ms[j]))
+mh_rows = []
+for da, db in sorted(cand):
+    est = float(np.mean(sigs[da] == sigs[db]))
+    if est >= 0.5:
+        mh_rows.append((da, db, round(est, 6)))
+pq.write_table(
+    pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in mh_rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in mh_rows], pa.int64()),
+            "est_jaccard": pa.array([r[2] for r in mh_rows], pa.float64()),
+        }
+    ),
+    os.path.join(OUT_DIR, "minhash_lsh_pairs.parquet"),
+)
+
+# simhash_pairs(max_hamming=3, cap=1000): 4 chunks × 16 bits
+hashes = {d: int(K.simhash64(t)) for d, t in zip(doc_ids, texts)}
+sh_buckets: dict[tuple[int, int], list[int]] = {}
+for d in doc_ids:
+    for ci in range(4):
+        sh_buckets.setdefault((ci, (hashes[d] >> (ci * 16)) & 0xFFFF), []).append(d)
+sh_cand = set()
+for members in sh_buckets.values():
+    if len(members) > 1000:
+        continue
+    ms = sorted(members)
+    for i in range(len(ms)):
+        for j in range(i + 1, len(ms)):
+            sh_cand.add((ms[i], ms[j]))
+sh_rows = []
+for da, db in sorted(sh_cand):
+    hd = bin(hashes[da] ^ hashes[db]).count("1")
+    if hd <= 3:
+        sh_rows.append((da, db, hd))
+pq.write_table(
+    pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in sh_rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in sh_rows], pa.int64()),
+            "hamming": pa.array([r[2] for r in sh_rows], pa.int32()),
+        }
+    ),
+    os.path.join(OUT_DIR, "simhash_pairs.parquet"),
+)
+
+# ---------------------------------------------------------------------------
+# LSH ANN top-k golden (similarity_lsh_topk: queries = vec_id < 20, k=5,
+# 6 planes × 4 tables, dim 64, seed 42, multi-probe on the query side).
+# Cosine replicated as the SAME left-fold Spark's F.aggregate computes —
+# order-sensitive double addition, so np.dot (pairwise/SIMD order) would
+# drift in the last ulp and could flip a 6-dp rounding or a rank.
+# ---------------------------------------------------------------------------
+emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+vecs = {int(v): [float(x) for x in e] for v, e in zip(emb["vec_id"], emb["embedding"])}
+planes = np.random.RandomState(42).normal(size=(4, 6, 64))
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _fold_norm(a):
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return acc ** 0.5
+
+
+def _codes(vid):
+    mat = np.asarray(vecs[vid], dtype=np.float64)
+    out = []
+    for t in range(4):
+        bits = (mat @ planes[t].T) > 0
+        code = int((bits * (1 << np.arange(6))).sum())
+        out.append((t << 6) | code)
+    return out
+
+
+q_ids = sorted(v for v in vecs if v < 20)
+corpus_buckets: dict[int, list[int]] = {}
+for v in vecs:
+    for bkt in _codes(v):
+        corpus_buckets.setdefault(bkt, []).append(v)
+lsh_rows = []
+for qid in q_ids:
+    probes = set()
+    for bkt in _codes(qid):
+        probes.add(bkt)
+        base, code = bkt & ~0x3F, bkt & 0x3F
+        for p in range(6):
+            probes.add(base | (code ^ (1 << p)))
+    cands = {n for b in probes for n in corpus_buckets.get(b, []) if n != qid}
+    qv = vecs[qid]
+    qn = _fold_norm(qv)
+    scored = []
+    for n in sorted(cands):
+        cv = vecs[n]
+        scored.append((n, _fold_dot(qv, cv) / (qn * _fold_norm(cv))))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    for rank, (n, cos) in enumerate(scored[:5], start=1):
+        lsh_rows.append((qid, n, rank, round(cos, 6)))
+pq.write_table(
+    pa.table(
+        {
+            "query_id": pa.array([r[0] for r in lsh_rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in lsh_rows], pa.int64()),
+            "rank": pa.array([r[2] for r in lsh_rows], pa.int32()),
+            "cosine": pa.array([r[3] for r in lsh_rows], pa.float64()),
+        }
+    ),
+    os.path.join(OUT_DIR, "similarity_lsh_topk.parquet"),
+)
+print(
+    f"golden extra: {len(span_rows)} spans, {len(ens_rows)} ensemble rows, "
+    f"{len(mh_rows)} minhash pairs, {len(sh_rows)} simhash pairs, "
+    f"{len(lsh_rows)} lsh-topk rows"
 )
