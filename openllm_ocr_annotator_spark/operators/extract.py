@@ -335,6 +335,26 @@ def lineage_metrics(extracted: DataFrame) -> DataFrame:
     )
 
 
+def lineage_global(extracted: DataFrame) -> DataFrame:
+    """Partition-layout-INDEPENDENT lineage rollup: one row of
+    (doc_count, span_count, checksum) for the whole output.
+
+    The per-partition rows (``lineage_metrics``) depend on the physical
+    layout by design (that is what they audit); the xor-fold checksum is
+    associative + commutative, so the global rollup is identical for ANY
+    partitioning and parallelism — the invariant two runs compare to decide
+    "same output". The checksum is reproducible outside Spark via the
+    pure-Python Spark-compatible XXH64 (kernel/xxh64.py), which is what
+    lets the driver value-check it against a golden.
+    """
+    row_hash = F.xxhash64("doc_id", "kind", "text", "media_ref", "offset")
+    return extracted.agg(
+        F.countDistinct("doc_id").alias("doc_count"),
+        F.count(F.lit(1)).alias("span_count"),
+        F.bit_xor(row_hash).alias("checksum"),
+    )
+
+
 def ensemble_extract(
     docs: DataFrame,
     legs: list[tuple[str, float, dict | None]],

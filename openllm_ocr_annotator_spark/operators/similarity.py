@@ -181,12 +181,7 @@ def ivf_assignments(
             if not len(pdf):  # np.stack([]) raises on empty Arrow batches
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ cnorm.T  # (n, n_cells)
-            if nprobe == 1:
-                cells = sims.argmax(axis=1)[:, None]
-            else:
-                cells = np.argsort(-sims, axis=1)[:, :nprobe]
+            cells = assign_cells(mat, cnorm, nprobe)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(pdf[id_col].to_numpy(), cells.shape[1]),
@@ -199,41 +194,56 @@ def ivf_assignments(
     )
 
 
+def assign_cells(mat: np.ndarray, cnorm: np.ndarray, nprobe: int) -> np.ndarray:
+    """Nearest-``nprobe`` cells per row of ``mat`` (cosine over pre-normalized
+    centroids). Shared verbatim by the Spark kernel and the pure-Python
+    golden replay, so the assignment arithmetic has one source of truth."""
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = mat @ cnorm.T  # (n, n_cells)
+    if nprobe == 1:
+        return sims.argmax(axis=1)[:, None]
+    return np.argsort(-sims, axis=1)[:, :nprobe]
+
+
+def lloyd_centroids(sample: np.ndarray, n_cells: int, iters: int) -> np.ndarray:
+    """Deterministic numpy Lloyd over a training sample: init = first
+    ``n_cells`` rows, then ``iters`` assign/mean rounds (empty cell keeps
+    its centroid). Pure function — also the golden-generation twin."""
+    centroids = sample[:n_cells].copy()
+    for _ in range(iters):
+        cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        cells = assign_cells(sample, cnorm, 1)[:, 0]
+        for c in range(n_cells):
+            members = sample[cells == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
 def ivf_train_centroids(
     corpus: DataFrame, n_cells: int = 32, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_rows: int = 4096,
 ) -> np.ndarray:
-    """Deterministic coarse quantizer: first-``n_cells`` init + Lloyd steps.
+    """Deterministic coarse quantizer trained on a BOUNDED sample.
 
-    Init = the ``n_cells`` lowest vec_ids (seedless determinism); each Lloyd
-    iteration assigns every vector to its nearest cell (narrow kernel pass)
-    and recomputes means via posexplode + groupBy(cell, dim) — a JVM-side
-    partial-aggregated shuffle, never a driver collect of the corpus.
+    IVF quantizers are universally trained on samples (a few hundred
+    vectors per cell suffice — the FAISS training rule), so the trainer
+    collects the ``sample_rows`` lowest vec_ids (seedless determinism,
+    bounded driver memory at any corpus size) and runs numpy Lloyd
+    driver-side. This replaces the previous distributed-mean Lloyd, whose
+    partition-order-dependent float sums made centroids irreproducible
+    outside Spark — sample training is both the standard practice AND what
+    lets the driver's golden oracle replay the quantizer bit-for-bit.
+    Assignment of the full corpus stays distributed (``ivf_assignments``).
     """
-    init = (
-        corpus.orderBy(id_col).limit(n_cells)
+    sample = (
+        corpus.orderBy(id_col).limit(sample_rows)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
-    centroids = np.stack([np.asarray(r.v, dtype=np.float64) for r in init])
-    for _ in range(iters):
-        assign = ivf_assignments(corpus, centroids, id_col, vec_col, nprobe=1)
-        means = (
-            assign.join(
-                corpus.select(
-                    F.col(id_col).alias("vec_id"),
-                    F.col(vec_col).cast("array<double>").alias("v"),
-                ),
-                "vec_id",
-            )
-            .select("cell", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("mean"))
-            .collect()
-        )
-        for row in means:
-            centroids[row.cell, row.dim] = row.mean
-    return centroids
+    mat = np.stack([np.asarray(r.v, dtype=np.float64) for r in sample])
+    return lloyd_centroids(mat, n_cells, iters)
 
 
 def ivf_topk(

@@ -354,3 +354,73 @@ print(
     f"{len(mh_rows)} minhash pairs, {len(sh_rows)} simhash pairs, "
     f"{len(lsh_rows)} lsh-topk rows"
 )
+
+# ---------------------------------------------------------------------------
+# IVF ANN top-k golden (similarity_ivf_topk: queries = vec_id < 20, k=5,
+# n_cells=16, nprobe=4, iters=2). The quantizer trains on a bounded
+# driver-side sample via the SAME lloyd_centroids/assign_cells numpy
+# functions the operator uses — sample training is what makes the whole
+# IVF path reproducible outside Spark.
+# ---------------------------------------------------------------------------
+from openllm_ocr_annotator_spark.operators.similarity import (  # noqa: E402
+    assign_cells,
+    lloyd_centroids,
+)
+
+ids_sorted = sorted(vecs)
+mat_all = np.stack([np.asarray(vecs[v], dtype=np.float64) for v in ids_sorted])
+centroids = lloyd_centroids(mat_all[:4096], 16, 2)
+cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+corpus_cells = assign_cells(mat_all, cnorm, 1)[:, 0]
+cell_members: dict[int, list[int]] = {}
+for v, c in zip(ids_sorted, corpus_cells):
+    cell_members.setdefault(int(c), []).append(v)
+q_rows_idx = [i for i, v in enumerate(ids_sorted) if v < 20]
+q_cells = assign_cells(mat_all[q_rows_idx], cnorm, 4)
+ivf_rows = []
+for qi, row in zip(q_rows_idx, q_cells):
+    qid = ids_sorted[qi]
+    cands = {n for c in row for n in cell_members.get(int(c), []) if n != qid}
+    qv = vecs[qid]
+    qn = _fold_norm(qv)
+    scored = [(n, _fold_dot(qv, vecs[n]) / (qn * _fold_norm(vecs[n])))
+              for n in sorted(cands)]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    for rank, (n, cos) in enumerate(scored[:5], start=1):
+        ivf_rows.append((qid, n, rank, round(cos, 6)))
+pq.write_table(
+    pa.table(
+        {
+            "query_id": pa.array([r[0] for r in ivf_rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in ivf_rows], pa.int64()),
+            "rank": pa.array([r[2] for r in ivf_rows], pa.int32()),
+            "cosine": pa.array([r[3] for r in ivf_rows], pa.float64()),
+        }
+    ),
+    os.path.join(OUT_DIR, "similarity_ivf_topk.parquet"),
+)
+print(f"golden extra: {len(ivf_rows)} ivf-topk rows")
+
+# ---------------------------------------------------------------------------
+# Global lineage golden: (doc_count, span_count, checksum) where checksum =
+# xor-fold of Spark-compatible XXH64 row hashes (kernel/xxh64.py — pinned
+# against F.xxhash64 in tests/test_xxh64.py). Partition-layout-independent
+# by construction, so the pure sequential fold equals any cluster run.
+# ---------------------------------------------------------------------------
+from openllm_ocr_annotator_spark.kernel import xxh64 as X  # noqa: E402
+
+checksum = 0
+for did, kind, text, ref, off in span_rows:
+    checksum ^= X.xxhash64_row([did, kind, text, ref, ("int", off)]) & ((1 << 64) - 1)
+checksum_signed = checksum - (1 << 64) if checksum >= (1 << 63) else checksum
+pq.write_table(
+    pa.table(
+        {
+            "doc_count": pa.array([len({r[0] for r in span_rows})], pa.int64()),
+            "span_count": pa.array([len(span_rows)], pa.int64()),
+            "checksum": pa.array([checksum_signed], pa.int64()),
+        }
+    ),
+    os.path.join(OUT_DIR, "lineage_global.parquet"),
+)
+print(f"golden extra: lineage_global checksum {checksum_signed}")
