@@ -145,11 +145,26 @@ class SnapshotTable:
 
     # -- read path -------------------------------------------------------------
 
-    def read_committed(self) -> DataFrame | None:
-        """Union of all committed snapshot data (None when table is empty)."""
+    def read_committed(self, as_of: str | None = None) -> DataFrame | None:
+        """Union of committed snapshot data (None when table is empty).
+
+        ``as_of``: time travel — read the table as it was at snapshot
+        ``as_of`` (inclusive): only data dirs committed up to that manifest
+        are visible, exactly the Iceberg ``VERSION AS OF`` contract.
+        Snapshot ids are ms-timestamp-prefixed, so manifest name order IS
+        commit order. Raises on an unknown snapshot id rather than
+        silently returning the full table.
+        """
         snaps = self.snapshots()
         if not snaps:
             return None
+        if as_of is not None:
+            ids = [s["snapshot_id"] for s in snaps]
+            if as_of not in ids:
+                raise ValueError(
+                    f"unknown snapshot {as_of!r}; committed: {ids}"
+                )
+            snaps = snaps[: ids.index(as_of) + 1]
         dirs = [s["data_dir"] for s in snaps]
         return self.spark.read.parquet(*dirs)
 

@@ -384,3 +384,59 @@ def test_session_window_exact_gap_boundary(spark):
     assert len(got[1]) == 1 and got[1][0][2] == 2
     assert got[1][0][1] == t0 + gap + gap  # merged end = last event + gap
     assert len(got[2]) == 2 and sorted(n for _, _, n in got[2]) == [1, 1]
+
+
+def test_stateful_digest_counts_state_survives_micro_batches(spark, tmp_path):
+    """applyInPandasWithState: with maxFilesPerTrigger=1 the same digest
+    arrives across SEVERAL micro-batches — the cumulative count must carry
+    state between them (a per-batch count would plateau at the per-file
+    count). Final max-per-digest equals the batch groupBy twin."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from openllm_ocr_annotator_spark.streaming.stateful import (
+        digest_counts_batch,
+        run_digest_count_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "dup" if i % 2 == 0 else f"uniq{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # 4 separate files → 4 micro-batches at maxFilesPerTrigger=1
+    docs.repartition(4).write.parquet(str(tmp_path / "docs"))
+    got = run_digest_count_stream(
+        spark, str(tmp_path / "docs"), str(tmp_path / "ckpt"),
+        f"dg_{uuid.uuid4().hex[:8]}", max_files_per_trigger=1,
+    )
+    g = {r.digest: r.n_docs for r in got.collect()}
+    w = {r.digest: r.n_docs for r in digest_counts_batch(docs).collect()}
+    assert g == w
+    assert max(g.values()) == 10  # the dup digest accumulated ACROSS batches
+    # and the raw emission log shows intermediate (smaller) counts for the
+    # dup digest — proof the state was built incrementally, not in one batch
+    dup_digest = docs.select(F.md5("text").alias("d")).filter(
+        docs.text == "dup").first().d
+    emitted = [r.n_docs for r in spark.sql(
+        "SELECT * FROM " + [t.name for t in spark.catalog.listTables()
+                            if t.name.startswith("dg_")][-1]
+    ).filter(F.col("digest") == dup_digest).collect()]
+    assert len(emitted) > 1 and max(emitted) == 10 and min(emitted) < 10
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """read_committed(as_of=...) shows the table as of that snapshot —
+    later commits invisible; unknown ids raise."""
+    import pytest as _pytest
+
+    from openllm_ocr_annotator_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.commit(spark.createDataFrame([(1, "a")], "id long, v string"))
+    s2 = t.commit(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert {r.id for r in t.read_committed().collect()} == {1, 2}
+    assert {r.id for r in t.read_committed(as_of=s1).collect()} == {1}
+    assert {r.id for r in t.read_committed(as_of=s2).collect()} == {1, 2}
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        t.read_committed(as_of="nope")
