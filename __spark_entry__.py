@@ -33,23 +33,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # number of checks before a cutoff. Names missing from the table (future
 # additions) append at the end, sorted, keeping the order deterministic.
 _CHEAP_FIRST = [
-    "confidence_bands", "corpus_profile", "split_assignment", "dedup_exact",
-    "pack_sequences", "pii_scrub", "sample_explode", "source_mixing",
-    "split_sized", "text_fingerprint", "extract_spans", "media_features",
-    "text_token_stats", "windowed_rollup", "json_parse_chain",
-    "media_frame_sample", "media_payload_decode", "sample_gate",
-    "annotator_union", "bpe_token_count", "majority_vote",
-    "media_resize_plan", "resume_anti_join", "sessionize", "text_lang_id",
-    "text_repetition", "doc_json_payloads", "pack_sequences_bpe",
-    "sampling_effectiveness", "scan_limit", "corpus_curation",
-    "highest_confidence_vote", "text_quality", "training_pipeline",
-    "decontaminate", "extract_lineage", "sampling_stats",
-    "extract_spans_wide", "matcher_semantics", "tsv_span_sink",
-    "dedup_simhash", "eval_doc_accuracy", "eval_overall", "similarity_topk",
-    "ensemble_extract", "similarity_lsh_topk", "eval_field_accuracy",
-    "source_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "similarity_ivf_topk", "embedding_near_dups", "streaming_increment",
-    "weighted_vote", "dedup_clusters", "annotation_pipeline",
+    "confidence_bands", "sample_explode", "scan_limit", "source_mixing",
+    "split_assignment", "corpus_profile", "dedup_exact", "pack_sequences",
+    "pii_scrub", "resume_anti_join", "split_sized", "text_fingerprint",
+    "text_token_stats", "windowed_rollup", "majority_vote", "media_features",
+    "media_payload_decode", "sample_gate", "sessionize", "text_lang_id",
+    "bpe_token_count", "json_parse_chain", "text_quality", "annotator_union",
+    "doc_json_payloads", "media_frame_sample", "pack_sequences_bpe",
+    "sampling_effectiveness", "text_repetition", "corpus_curation",
+    "extract_spans", "media_resize_plan", "training_pipeline",
+    "extract_lineage_global", "sampling_stats", "decontaminate",
+    "extract_lineage", "highest_confidence_vote", "similarity_topk",
+    "tsv_span_sink", "matcher_semantics", "dedup_simhash", "eval_overall",
+    "eval_doc_accuracy", "similarity_ivf_topk", "dedup_ngram_jaccard",
+    "similarity_lsh_topk", "source_filter", "dedup_minhash_lsh",
+    "eval_field_accuracy", "embedding_near_dups", "streaming_digest_counts",
+    "streaming_increment", "extract_spans_wide", "weighted_vote",
+    "dedup_clusters", "dedup_corpus", "ensemble_extract",
+    "annotation_pipeline",
 ]
 
 

@@ -225,6 +225,35 @@ def test_dedup_clusters_round_bounded_exchanges(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
 
+def test_bpe_counting_is_one_narrow_pass(spark):
+    """Broadcast-rank BPE counting must stay a single narrow Python stage
+    over the spread partitioning: exactly one exchange (the spread
+    repartition), no joins — the whole point of broadcasting the merges
+    instead of joining a vocabulary table."""
+    from openllm_ocr_annotator_spark.operators.tokenize import (
+        bpe_token_counts,
+        train_bpe_from_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    merges = train_bpe_from_corpus(docs, num_merges=20, sample_docs=20)
+    plan = _plan(bpe_token_counts(docs, merges))
+    assert _n_exchanges(plan) <= 1
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" not in plan  # mapInPandas, not grouped
+
+
+def test_media_payload_decode_is_shuffle_free(spark):
+    """synthesize payload bytes → real decode: two chained mapInPandas
+    kernels, NO exchange — media bytes must never cross a shuffle."""
+    from openllm_ocr_annotator_spark.operators.media import extract_media_features
+    from openllm_ocr_annotator_spark.synth import synthesize_media_payloads
+
+    payloads = synthesize_media_payloads(spark, SF_DIR)
+    plan = _plan(extract_media_features(payloads, strict=True))
+    assert "Exchange" not in plan, "media payload bytes crossed a shuffle"
+
+
 def test_pack_sequences_single_exchange(spark):
     """Packing = one window cumsum: exactly one exchange, keyed on the
     stream column — no extra shuffle may creep in."""
