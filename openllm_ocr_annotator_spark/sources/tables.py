@@ -65,6 +65,11 @@ class _HadoopFS:
             stream.close()
         return json.loads(text)
 
+    def delete(self, path: str) -> None:
+        p = self._Path(path)
+        if self.fs.exists(p) and not self.fs.delete(p, True):
+            raise IOError(f"delete failed: {path}")
+
     def write_json_atomic(self, tmp: str, final: str, obj: dict) -> None:
         out = self.fs.create(self._Path(tmp), True)
         try:
@@ -105,6 +110,7 @@ class SnapshotTable:
         df: DataFrame,
         lineage: DataFrame | None = None,
         keys: DataFrame | None = None,
+        extra: dict | None = None,
     ) -> str:
         """Append ``df`` as a new snapshot; returns the snapshot id.
 
@@ -135,6 +141,7 @@ class SnapshotTable:
             "lineage": (
                 [r.asDict() for r in lineage.collect()] if lineage is not None else []
             ),
+            **(extra or {}),
         }
         self._fs.write_json_atomic(
             f"{self.root}/manifests/.{snap_id}.tmp",
@@ -145,6 +152,14 @@ class SnapshotTable:
 
     # -- read path -------------------------------------------------------------
 
+    def _live_snaps(self, snaps: list[dict]) -> list[dict]:
+        """Drop snapshots replaced by a LATER compaction within ``snaps``
+        (a compaction manifest lists the ids it rewrote in ``replaces``)."""
+        replaced: set[str] = set()
+        for s in snaps:
+            replaced.update(s.get("replaces") or [])
+        return [s for s in snaps if s["snapshot_id"] not in replaced]
+
     def read_committed(self, as_of: str | None = None) -> DataFrame | None:
         """Union of committed snapshot data (None when table is empty).
 
@@ -153,7 +168,9 @@ class SnapshotTable:
         are visible, exactly the Iceberg ``VERSION AS OF`` contract.
         Snapshot ids are ms-timestamp-prefixed, so manifest name order IS
         commit order. Raises on an unknown snapshot id rather than
-        silently returning the full table.
+        silently returning the full table. Snapshots rewritten by a later
+        ``compact()`` are skipped (their data dirs stay on disk for time
+        travel until ``expire_replaced()``).
         """
         snaps = self.snapshots()
         if not snaps:
@@ -165,13 +182,15 @@ class SnapshotTable:
                     f"unknown snapshot {as_of!r}; committed: {ids}"
                 )
             snaps = snaps[: ids.index(as_of) + 1]
-        dirs = [s["data_dir"] for s in snaps]
+        dirs = [s["data_dir"] for s in self._live_snaps(snaps)]
         return self.spark.read.parquet(*dirs)
 
     def committed_keys(self, *cols: str) -> DataFrame | None:
         """Processed-key set: explicit key snapshots where present, plus
-        distinct keys of data-only snapshots (mixed histories supported)."""
-        snaps = self.snapshots()
+        distinct keys of data-only snapshots (mixed histories supported).
+        Compaction-replaced snapshots are skipped — ``compact()`` carries
+        the unioned key set forward, so resume semantics survive it."""
+        snaps = self._live_snaps(self.snapshots())
         if not snaps:
             return None
         key_dirs = [s["keys_dir"] for s in snaps if s.get("keys_dir")]
@@ -185,6 +204,59 @@ class SnapshotTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.distinct()
+
+    # -- maintenance -----------------------------------------------------------
+
+    def compact(self, key_cols: tuple[str, ...] = ()) -> str | None:
+        """Rewrite all live committed data as ONE snapshot (Iceberg-style
+        rewrite): the manifest chain and small-snapshot data dirs otherwise
+        grow one entry per incremental commit — at 10^12-doc scale the read
+        path would union thousands of directories. The compaction manifest
+        records the ids it ``replaces``; replaced data stays on disk (time
+        travel to old snapshots keeps working) until ``expire_replaced()``.
+
+        ``key_cols``: REQUIRED when any live snapshot carries an explicit
+        key set (inputs with zero output rows) — the unioned keys are
+        carried into the compacted snapshot, so resume semantics survive.
+        Returns the new snapshot id (None on an empty table).
+        """
+        live = self._live_snaps(self.snapshots())
+        if not live:
+            return None
+        if any(s.get("keys_dir") for s in live) and not key_cols:
+            raise ValueError(
+                "compact() needs key_cols: live snapshots carry explicit key "
+                "sets (zero-output inputs) that must survive compaction"
+            )
+        data = self.spark.read.parquet(*[s["data_dir"] for s in live])
+        keys = self.committed_keys(*key_cols) if key_cols else None
+        return self.commit(
+            data, keys=keys, extra={"replaces": [s["snapshot_id"] for s in live]}
+        )
+
+    def expire_replaced(self) -> list[str]:
+        """Physically delete compaction-replaced snapshots (data, keys,
+        manifest) — the retention step that reclaims storage at the cost of
+        time travel to those ids. Returns the expired snapshot ids."""
+        snaps = self.snapshots()
+        replaced: set[str] = set()
+        for s in snaps:
+            replaced.update(s.get("replaces") or [])
+        expired = []
+        for s in snaps:
+            sid = s["snapshot_id"]
+            if sid not in replaced:
+                continue
+            self._fs.delete(s["data_dir"])
+            if s.get("keys_dir"):
+                self._fs.delete(s["keys_dir"])
+            self._fs.delete(f"{self.root}/manifests/{sid}.json")
+            expired.append(sid)
+        if expired:
+            # the survivors' replaces lists now point at deleted manifests —
+            # harmless (they are only used to SKIP ids), left as history
+            pass
+        return expired
 
     def resume_filter(self, inputs: DataFrame, *key_cols: str) -> DataFrame:
         """S4/J3: inputs minus already-committed keys (left anti-join)."""

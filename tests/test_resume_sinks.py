@@ -214,3 +214,40 @@ def test_sized_split_testless_validation_quirk(spark):
     for r in out.collect():
         counts[r.split] = counts.get(r.split, 0) + 1
     assert counts == {"train": 8, "test": 2}
+
+
+def test_snapshot_compaction_preserves_reads_and_resume(spark, tmp_path):
+    """compact() rewrites live snapshots as one; reads, resume keys, and
+    pre-compaction time travel all survive; expire_replaced() reclaims the
+    old dirs and retires their time-travel ids."""
+    import pytest as _pytest
+
+    from openllm_ocr_annotator_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.commit(
+        spark.createDataFrame([(1, "a")], "doc_id long, v string"),
+        keys=spark.createDataFrame([(1,), (10,)], "doc_id long"),  # 10: zero-output
+    )
+    s2 = t.commit(spark.createDataFrame([(2, "b")], "doc_id long, v string"))
+    # key-carrying history: compact without key_cols must refuse
+    with _pytest.raises(ValueError, match="key_cols"):
+        t.compact()
+    c = t.compact(key_cols=("doc_id",))
+    assert {r.doc_id for r in t.read_committed().collect()} == {1, 2}
+    # resume still knows the zero-output input 10
+    inputs = spark.createDataFrame([(1,), (2,), (3,), (10,)], "doc_id long")
+    assert {r.doc_id for r in t.resume_filter(inputs, "doc_id").collect()} == {3}
+    # time travel to pre-compaction snapshots still works (dirs retained)
+    assert {r.doc_id for r in t.read_committed(as_of=s1).collect()} == {1}
+    # a post-compaction commit stacks on top
+    t.commit(spark.createDataFrame([(3, "c")], "doc_id long, v string"))
+    assert {r.doc_id for r in t.read_committed().collect()} == {1, 2, 3}
+    # expiration reclaims the replaced snapshots and retires their ids
+    expired = t.expire_replaced()
+    assert set(expired) == {s1, s2}
+    assert {r.doc_id for r in t.read_committed().collect()} == {1, 2, 3}
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        t.read_committed(as_of=s1)
+    # the survivor chain is exactly compaction + the new commit
+    assert [s["snapshot_id"] for s in t.snapshots()][0] == c
