@@ -185,12 +185,19 @@ def _skip_subblocks(payload: bytes, pos: int) -> int:
 
 
 def decode_geometry(payload: bytes) -> tuple[int, int, int]:
-    """Sniff magic bytes → (width, height, n_frames). Raises ValueError on
-    formats these parsers don't cover (the caller may then try PIL)."""
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:2] in (b"P6", b"P5"):
-        return decode_ppm(payload)
-    if payload[:3] == b"GIF":
-        return decode_gif(payload)
+    """Sniff magic bytes → (width, height, n_frames). Raises ValueError
+    both on formats these parsers don't cover (the caller may then try
+    PIL) and on TRUNCATED/CORRUPT payloads of a recognized format — the
+    parsers' internal struct/index errors must not escape as anything but
+    ValueError, or the lenient fake-fallback path would crash instead of
+    falling back (pinned by tests)."""
+    try:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] in (b"P6", b"P5"):
+            return decode_ppm(payload)
+        if payload[:3] == b"GIF":
+            return decode_gif(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt {payload[:2]!r} payload: {e}") from e
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")

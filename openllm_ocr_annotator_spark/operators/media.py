@@ -94,10 +94,17 @@ def _decode_payload(payload: bytes, kind: str) -> tuple[int, int, int]:
 
     try:
         width, height, n_frames = imagecodec.decode_geometry(bytes(payload))
-    except ValueError:
+    except ValueError as codec_err:
         if not HAS_PIL:
             raise
-        return _pil_decode(payload, kind)
+        try:
+            return _pil_decode(payload, kind)
+        except Exception as pil_err:
+            # PIL raises its own hierarchy (UnidentifiedImageError, OSError);
+            # normalize so the lenient/strict dispatch above sees ValueError
+            raise ValueError(
+                f"builtin codecs: {codec_err}; PIL: {pil_err}"
+            ) from pil_err
     return width, height, 1 if kind == "image" else n_frames
 
 

@@ -57,6 +57,11 @@ def bpe_token_counts(
     out_col: str = "n_tokens",
 ) -> DataFrame:
     """(id, text, …) → (id, …, n_tokens) with REAL BPE token counts."""
+    if out_col in docs.columns:
+        raise ValueError(
+            f"bpe_token_counts: input already has a {out_col!r} column — "
+            "pass out_col to avoid a silent duplicate"
+        )
     ranks_bc = docs.sparkSession.sparkContext.broadcast(B.merge_ranks(merges))
     other_cols = [c for c in docs.columns if c != text_col]
     schema = ", ".join(

@@ -440,3 +440,34 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert {r.id for r in t.read_committed(as_of=s2).collect()} == {1, 2}
     with _pytest.raises(ValueError, match="unknown snapshot"):
         t.read_committed(as_of="nope")
+
+
+def test_truncated_payloads_fall_back_not_crash(spark):
+    """Corrupt bytes of a RECOGNIZED format (truncated BMP/GIF headers)
+    must surface as ValueError inside the codec, so lenient mode falls
+    back to the fake and strict mode raises the named error — never an
+    uncaught struct.error killing the job."""
+    import pytest as _pytest
+
+    from openllm_ocr_annotator_spark.kernel import imagecodec as C
+    from openllm_ocr_annotator_spark.operators.media import extract_media_features
+
+    trunc_bmp = bytearray(C.encode_bmp(6, 4)[:10])      # cut inside the header
+    trunc_gif = bytearray(C.encode_gif(5, 5, 2)[:8])    # cut inside the LSD
+    bad_gif = bytearray(C.encode_gif(5, 5, 1))
+    bad_gif[13] = 0x99                                   # corrupt block marker
+    rows = [
+        ("d1", "ref://t.bmp", "image", trunc_bmp),
+        ("d2", "ref://t.gif", "video", trunc_gif),
+        ("d3", "ref://b.gif", "video", bad_gif),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, kind string, payload binary"
+    )
+    got = extract_media_features(df).collect()           # lenient: fake geometry
+    assert len(got) == 3 and all(r.width > 0 for r in got)
+    with _pytest.raises(Exception, match="strict media decode failed"):
+        extract_media_features(df, strict=True).collect()
+    for payload in (bytes(trunc_bmp), bytes(trunc_gif), bytes(bad_gif)):
+        with _pytest.raises(ValueError):
+            C.decode_geometry(payload)
