@@ -336,6 +336,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     max_iter: int = 30,
+    check_every: int = 2,
 ) -> DataFrame:
     """Resolve near-dup *pairs* into connected components → a keep/drop list.
 
@@ -357,7 +358,12 @@ def dedup_clusters(
     standard guard for iterative Spark jobs (on a real cluster with
     unreliable executors, swap in ``checkpoint()`` + a checkpoint dir).
     Convergence = zero changed labels (exact join-based count; a sum(label)
-    fixpoint probe would overflow int64 at 10^12-doc id ranges).
+    fixpoint probe would overflow int64 at 10^12-doc id ranges). The count
+    is an extra driver round-trip per probe, so it runs every
+    ``check_every`` rounds (default 2): with pointer jumping most real
+    workloads converge in 2-4 rounds, and probing half as often saves a
+    quarter of the driver-synchronized jobs at the worst-case cost of one
+    extra (cheap, already-converged) propagation round.
 
     Scale shape: per round a CONSTANT number of exchanges (4 joins/aggs →
     ~11 physical Exchange nodes incl. both join sides; pinned in
@@ -381,16 +387,18 @@ def dedup_clusters(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         new_labels = _propagate_round(edges, labels).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        probe = (it + 1) % max(check_every, 1) == 0 or it == max_iter - 1
+        if probe:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
         labels = new_labels
-        if changed == 0:
+        if probe and changed == 0:
             break
     else:
         raise RuntimeError(
