@@ -94,3 +94,93 @@ def test_minhash_slab_size_never_changes_signatures(texts, slab):
         if texts else np.empty((0, 16), dtype=np.uint64)
     )
     assert np.array_equal(got, expected)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    frames=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=40, deadline=None)
+def test_imagecodec_roundtrip_property(w, h, frames):
+    """encode→decode is identity for every builtin format and geometry."""
+    from openllm_ocr_annotator_spark.kernel import imagecodec as C
+
+    assert C.decode_geometry(C.encode_bmp(w, h)) == (w, h, 1)
+    assert C.decode_geometry(C.encode_ppm(w, h)) == (w, h, 1)
+    assert C.decode_geometry(C.encode_ppm_stream(w, h, frames)) == (w, h, frames)
+    assert C.decode_geometry(C.encode_gif(w, h, frames)) == (w, h, frames)
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_imagecodec_never_escapes_valueerror(data):
+    """Arbitrary bytes — incl. ones starting with valid magic — either
+    decode or raise ValueError; no struct/index error ever escapes (the
+    lenient media path relies on this contract)."""
+    from openllm_ocr_annotator_spark.kernel import imagecodec as C
+
+    for prefix in (b"", b"BM", b"P6", b"GIF89a"):
+        try:
+            wid, hgt, nfr = C.decode_geometry(prefix + data)
+            assert wid >= 0 and hgt >= 0 and nfr >= 1
+        except ValueError:
+            pass
+
+
+@given(
+    words=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8),
+                   min_size=1, max_size=30),
+    merges=st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=40, deadline=None)
+def test_bpe_count_bounds_property(words, merges):
+    """For any corpus and merge count: every word costs ≥1 token, at most
+    len(word)+1 symbols; more merges never increase the count; training
+    is deterministic."""
+    from collections import Counter
+
+    from openllm_ocr_annotator_spark.kernel import bpe as B
+
+    vocab = Counter(words)
+    m1 = B.train_bpe(vocab, merges)
+    assert m1 == B.train_bpe(vocab, merges)
+    r1 = B.merge_ranks(m1)
+    r2 = B.merge_ranks(B.train_bpe(vocab, merges + 10))
+    text = " ".join(words)
+    n_words = len(text.split())
+    c1 = B.count_tokens(text, r1, {})
+    assert n_words <= c1 <= sum(len(w) + 1 for w in text.split())
+    assert B.count_tokens(text, r2, {}) <= c1
+
+
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                min_size=1, max_size=40))
+@settings(max_examples=10, deadline=None)
+def test_dedup_cluster_labels_match_union_find(spark, pairs):
+    """Pure-Python union-find is the oracle for the DataFrame min-label
+    propagation — for ANY random pair set the (cluster_id = component min)
+    convention must agree. (Session-scoped spark fixture: allowed with
+    hypothesis; examples share the JVM.)"""
+    from openllm_ocr_annotator_spark.operators.dedup import dedup_clusters
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(df).collect()}
+    assert got == want
