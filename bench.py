@@ -171,6 +171,7 @@ def main() -> None:
             "similarity_lsh_topk",
             "embedding_near_dups",
             "text_quality",
+            "quality_classifier",
             "text_token_stats",
             "corpus_curation",
             "training_pipeline",

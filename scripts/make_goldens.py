@@ -424,3 +424,38 @@ pq.write_table(
     os.path.join(OUT_DIR, "lineage_global.parquet"),
 )
 print(f"golden extra: lineage_global checksum {checksum_signed}")
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier golden (quality_classifier driver query):
+# same bounded training sample rule + the shared kernel/classify.py
+# functions, replayed sequentially. Weak labels are CCNet-style reference
+# source membership (balanced 1:3 on this corpus).
+# ---------------------------------------------------------------------------
+from openllm_ocr_annotator_spark.kernel import classify as CLF  # noqa: E402
+
+# CCNet-style weak labels: positives = the reference source set
+# (src0..src4), negatives = the rest — 50/200 positive on this corpus.
+REF_SOURCES = {"src0", "src1", "src2", "src3", "src4"}
+flat_src = pq.read_table(
+    f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+).to_pandas().sort_values("doc_id")
+sample_rows = list(zip(flat_src["doc_id"], flat_src["text"]))[:200]
+labels = [1 if s in REF_SOURCES else 0 for s in flat_src.head(200)["source"]]
+w_clf, b_clf = CLF.train_logreg(
+    [str(t) for _, t in sample_rows], labels, n_features=1 << 18, steps=200
+)
+clf_rows = [
+    (int(d), round(CLF.score_text(str(t), w_clf, b_clf), 6))
+    for d, t in zip(flat_all["doc_id"], flat_all["text"])
+]
+pq.write_table(
+    pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in clf_rows], pa.int64()),
+            "model_quality": pa.array([r[1] for r in clf_rows], pa.float64()),
+        }
+    ),
+    os.path.join(OUT_DIR, "quality_classifier.parquet"),
+)
+n_pos = sum(labels)
+print(f"golden extra: {len(clf_rows)} classifier scores ({n_pos}/200 positive labels)")
