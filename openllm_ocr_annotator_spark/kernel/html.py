@@ -123,33 +123,24 @@ def tokenize_html(html: str) -> list[tuple]:
     flush lazily (no allocation for the back-to-back block tags that
     dominate real markup).
     """
+    # Block state inlined into locals (texts/chars/link_chars/block_chrome):
+    # the flush/add_text closures were ~28% of tokenize time as function
+    # calls at ~40 calls/doc — semantics identical (pinned by the
+    # extraction goldens and wide≡narrow tests).
     items: list[tuple] = []
     skip_depth = 0
     a_depth = 0
     chrome_depth = 0
-    cur = _Block(chrome=False)
-
-    def flush() -> None:
-        nonlocal cur
-        if cur.texts:
-            text = _norm_ws(_decode_entities(" ".join(cur.texts)))
-            if text:
-                density = cur.link_chars / cur.chars if cur.chars else 0.0
-                items.append(("text", text, density, cur.chrome))
-            cur = _Block(chrome=chrome_depth > 0)
-
-    def add_text(t: str) -> None:
-        stripped = t.strip()
-        if stripped:
-            cur.texts.append(t)
-            cur.chars += len(stripped)
-            if a_depth:
-                cur.link_chars += len(stripped)
+    texts: list[str] = []
+    chars = 0
+    link_chars = 0
+    block_chrome = False
 
     # parts[0::2] = text between tags, parts[1::2] = tag bodies (sans <>)
     parts = _TAG_RE.split(html)
     last = len(parts) - 1
     flags_get = _TAG_FLAGS.get
+    cache_get = _TAG_CACHE.get
     for i, seg in enumerate(parts):
         if not i & 1:
             if seg and not skip_depth:
@@ -159,17 +150,28 @@ def tokenize_html(html: str) -> list[tuple]:
                     # the char-scanner semantics
                     j = seg.find("<")
                     if j >= 0:
-                        add_text(seg[:j])
+                        head = seg[:j]
+                        stripped = head.strip()
+                        if stripped:
+                            texts.append(head)
+                            chars += len(stripped)
+                            if a_depth:
+                                link_chars += len(stripped)
                         t = seg[j + 1 :]
-                        cur.texts.append(t)
-                        cur.chars += len(t)
+                        texts.append(t)
+                        chars += len(t)
                         if a_depth:
-                            cur.link_chars += len(t)
+                            link_chars += len(t)
                         continue
-                add_text(seg)
+                stripped = seg.strip()
+                if stripped:
+                    texts.append(seg)
+                    chars += len(stripped)
+                    if a_depth:
+                        link_chars += len(stripped)
             continue
 
-        parsed = _TAG_CACHE.get(seg)
+        parsed = cache_get(seg)
         if parsed is None:
             raw = seg.strip()
             if not raw or raw[0] == "!":  # comment/doctype
@@ -199,14 +201,25 @@ def tokenize_html(html: str) -> list[tuple]:
         if skip_depth:
             continue
 
-        if name == "img" and not closing:
-            flush()
-            src = _extract_attr(body, "src")
-            if src:
-                items.append(("media", src))
-            continue
-        if flags & _F_BLOCK:
-            flush()
+        is_img = name == "img" and not closing
+        if is_img or flags & _F_BLOCK:
+            # flush current block (img also flushes, then emits media)
+            if texts:
+                text = _norm_ws(_decode_entities(" ".join(texts)))
+                if text:
+                    items.append(
+                        ("text", text, link_chars / chars if chars else 0.0,
+                         block_chrome)
+                    )
+                texts = []
+                chars = 0
+                link_chars = 0
+                block_chrome = chrome_depth > 0
+            if is_img:
+                src = _extract_attr(body, "src")
+                if src:
+                    items.append(("media", src))
+                continue
         if name == "a":
             if closing:
                 a_depth = max(0, a_depth - 1)
@@ -215,12 +228,17 @@ def tokenize_html(html: str) -> list[tuple]:
         if flags & _F_CHROME:
             if closing:
                 chrome_depth = max(0, chrome_depth - 1)
-                cur.chrome = chrome_depth > 0
+                block_chrome = chrome_depth > 0
             elif not self_closing:
                 chrome_depth += 1
-                cur.chrome = True
+                block_chrome = True
 
-    flush()
+    if texts:
+        text = _norm_ws(_decode_entities(" ".join(texts)))
+        if text:
+            items.append(
+                ("text", text, link_chars / chars if chars else 0.0, block_chrome)
+            )
     return items
 
 
