@@ -69,16 +69,6 @@ def _norm_ws(s: str) -> str:
     return " ".join(s.split())
 
 
-class _Block:
-    __slots__ = ("chars", "link_chars", "chrome", "texts")
-
-    def __init__(self, chrome: bool) -> None:
-        self.chars = 0
-        self.link_chars = 0
-        self.chrome = chrome
-        self.texts: list[str] = []
-
-
 _TAG_RE = re.compile(r"<([^>]*)>")
 _NAME_RE = re.compile(r"[a-zA-Z0-9_-]*")
 
