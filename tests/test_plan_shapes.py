@@ -276,3 +276,20 @@ def test_training_pipeline_bounded_shuffles(spark):
     plan = _plan(qc.QUERIES["training_pipeline"](spark, SF_DIR))
     assert _n_exchanges(plan) <= 3
     assert "PushedFilters" in plan
+
+
+def test_quality_classifier_scoring_is_shuffle_free(spark):
+    """Model scoring = broadcast weights + one narrow Python pass over the
+    spread partitioning: ≤1 exchange (the spread repartition), no joins —
+    the model ships to the data, never the reverse."""
+    import numpy as np
+
+    from openllm_ocr_annotator_spark.operators.classify import (
+        N_FEATURES,
+        score_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = _plan(score_documents(docs, np.zeros(N_FEATURES), 0.0))
+    assert _n_exchanges(plan) <= 1
+    assert "Join" not in plan
