@@ -172,6 +172,8 @@ def main() -> None:
             "embedding_near_dups",
             "text_quality",
             "quality_classifier",
+            "perplexity_filter",
+            "mixture_rates",
             "text_token_stats",
             "corpus_curation",
             "training_pipeline",

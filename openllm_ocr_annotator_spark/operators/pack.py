@@ -111,3 +111,46 @@ def corpus_profile(docs: DataFrame, group_col: str = "source",
         F.max(chars_col).alias("max_chars"),
         F.round(F.median(c), 6).alias("median_chars"),
     )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    temperature: float = 0.5,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Temperature-based source-mixing rates (no upsampling).
+
+    The standard multilingual/multi-source recipe: target mixture
+    p_i ∝ c_i^τ with τ < 1 flattening the distribution toward low-resource
+    sources. Realized as per-source DOWN-sampling rates (no source is
+    upsampled): r_i = c_i^(τ-1) / max_j c_j^(τ-1) — the smallest source
+    keeps everything (rate 1), larger sources shrink toward the flattened
+    target. Feed the rates dict into ``stratified_sample`` for the actual
+    deterministic filter.
+
+    Output: (stratum, n_docs, rate). One aggregation + one scalar-min
+    broadcast join — no corpus shuffle beyond the count.
+
+    Cross-engine note: with the default τ=0.5 the rate is
+    sqrt(min_count / count); sqrt and division are IEEE-correctly-rounded
+    in BOTH engines, so the DuckDB oracle is value-exact. Other τ go
+    through pow(), whose last-ulp behavior is libm-dependent — the
+    documented trade-off if a non-default τ needs an oracle.
+    """
+    counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    if temperature == 0.5:
+        weight = F.lit(1.0) / F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        weight = F.pow(F.col("n_docs").cast("double"), F.lit(temperature - 1.0))
+    weighted = counts.withColumn("_w", weight)
+    max_w = weighted.agg(F.max("_w").alias("_mw"))
+    return (
+        weighted.crossJoin(F.broadcast(max_w))
+        .select(
+            "stratum",
+            "n_docs",
+            F.round(F.col("_w") / F.col("_mw"), 6).alias("rate"),
+        )
+    )

@@ -459,3 +459,39 @@ pq.write_table(
 )
 n_pos = sum(labels)
 print(f"golden extra: {len(clf_rows)} classifier scores ({n_pos}/200 positive labels)")
+
+# ---------------------------------------------------------------------------
+# Perplexity-filter golden (perplexity_filter driver query): bigram
+# stupid-backoff LM trained on the reference-source slice of the first 200
+# docs (kernel/lm.py, shared verbatim), every doc scored sequentially.
+# ---------------------------------------------------------------------------
+from openllm_ocr_annotator_spark.kernel import lm as LM  # noqa: E402
+
+ref_texts = [
+    str(t)
+    for _, t, s in zip(
+        flat_src["doc_id"], flat_src["text"], flat_src["source"]
+    )
+    if s in REF_SOURCES
+][:200]
+lm_model = LM.train_bigram_lm(ref_texts)
+ppl_rows = [
+    (int(d), round(LM.perplexity(str(t), lm_model), 6))
+    for d, t in zip(flat_src["doc_id"], flat_src["text"])
+]
+pq.write_table(
+    pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in ppl_rows], pa.int64()),
+            "perplexity": pa.array([r[1] for r in ppl_rows], pa.float64()),
+        }
+    ),
+    os.path.join(OUT_DIR, "perplexity.parquet"),
+)
+import statistics  # noqa: E402
+
+vals = [r[1] for r in ppl_rows]
+print(
+    f"golden extra: {len(ppl_rows)} perplexities "
+    f"(min {min(vals):.1f} median {statistics.median(vals):.1f} max {max(vals):.1f})"
+)

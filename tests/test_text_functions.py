@@ -153,3 +153,69 @@ def test_pii_counts_match_sequential_replacement(spark):
     ).collect()[0]
     assert r.clean == "call [EMAIL] now"
     assert (r.ne, r.np) == (1, 0)
+
+
+def test_bigram_lm_semantics():
+    """Stupid-backoff scoring: in-domain text scores lower perplexity than
+    out-of-domain; seen bigrams beat backoff; OOV hits the floor."""
+    import math
+
+    from openllm_ocr_annotator_spark.kernel import lm as L
+
+    model = L.train_bigram_lm(
+        ["the quick brown fox jumps", "the quick brown dog runs"] * 5
+    )
+    in_dom = L.perplexity("the quick brown fox", model)
+    out_dom = L.perplexity("zebra xylophone quantum flux", model)
+    assert in_dom < out_dom
+    # deterministic
+    assert in_dom == L.perplexity("the quick brown fox", model)
+    # empty doc: no tokens → inf
+    assert L.perplexity("", model) == float("inf")
+    # seen start bigram: P(the|BOS) = 10/10 = 1 → contributes log(1)=0
+    lp, n = L.doc_logprob("the", model)
+    assert n == 1 and lp == 0.0
+    # OOV word: alpha * 1/total
+    lp, n = L.doc_logprob("zzz", model)
+    assert math.isclose(lp, math.log(0.4 / model.total))
+
+
+def test_lm_spark_scoring_matches_kernel(spark):
+    from pyspark.sql import functions as F
+
+    from openllm_ocr_annotator_spark.kernel import lm as L
+    from openllm_ocr_annotator_spark.operators.perplexity import (
+        perplexity_filter,
+        score_perplexity,
+        train_lm_from_sources,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    lm = train_lm_from_sources(docs, ["src0", "src1"], sample_docs=50)
+    got = {r.doc_id: r.perplexity for r in score_perplexity(docs, lm).collect()}
+    pdf = docs.orderBy("doc_id").toPandas()
+    for d, t in zip(pdf["doc_id"], pdf["text"]):
+        assert got[d] == L.perplexity(str(t), lm), f"doc {d}"
+    # the filter keeps exactly the at-or-below-budget docs
+    thr = sorted(got.values())[len(got) // 2]
+    kept = {r.doc_id for r in perplexity_filter(docs, lm, thr).collect()}
+    assert kept == {d for d, p in got.items() if p <= thr}
+
+
+def test_mixture_rates_temperature_contract(spark):
+    """τ=0.5 rates: smallest source keeps rate 1; expected kept counts are
+    proportional to sqrt(c_i); feeding the rates into stratified_sample
+    composes (rates are percent-granular there — documented)."""
+    import math
+
+    from openllm_ocr_annotator_spark.operators.pack import mixture_rates
+
+    rows = [(i, "big") for i in range(400)] + [(i + 1000, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r.stratum: (r.n_docs, r.rate) for r in mixture_rates(docs).collect()}
+    assert got["small"] == (100, 1.0)
+    assert math.isclose(got["big"][1], math.sqrt(100 / 400), rel_tol=1e-6)
+    # expected kept ∝ sqrt(c): 400*0.5 = 200, 100*1.0 = 100 → ratio 2 = sqrt(400/100)
+    assert math.isclose(400 * got["big"][1] / (100 * got["small"][1]), 2.0, rel_tol=1e-6)
