@@ -33,24 +33,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # number of checks before a cutoff. Names missing from the table (future
 # additions) append at the end, sorted, keeping the order deterministic.
 _CHEAP_FIRST = [
-    "confidence_bands", "sample_explode", "scan_limit", "source_mixing",
-    "split_assignment", "corpus_profile", "dedup_exact", "pack_sequences",
-    "pii_scrub", "resume_anti_join", "split_sized", "text_fingerprint",
-    "text_token_stats", "windowed_rollup", "majority_vote", "media_features",
-    "media_payload_decode", "sample_gate", "sessionize", "text_lang_id",
-    "bpe_token_count", "json_parse_chain", "text_quality", "annotator_union",
-    "doc_json_payloads", "media_frame_sample", "pack_sequences_bpe",
-    "sampling_effectiveness", "text_repetition", "corpus_curation",
-    "extract_spans", "media_resize_plan", "training_pipeline",
-    "extract_lineage_global", "sampling_stats", "decontaminate",
-    "extract_lineage", "highest_confidence_vote", "similarity_topk",
-    "tsv_span_sink", "matcher_semantics", "dedup_simhash", "eval_overall",
-    "eval_doc_accuracy", "similarity_ivf_topk", "dedup_ngram_jaccard",
-    "similarity_lsh_topk", "source_filter", "dedup_minhash_lsh",
-    "eval_field_accuracy", "embedding_near_dups", "streaming_digest_counts",
-    "streaming_increment", "extract_spans_wide", "weighted_vote",
-    "dedup_clusters", "dedup_corpus", "ensemble_extract",
-    "annotation_pipeline",
+    "split_assignment", "text_fingerprint", "corpus_profile", "dedup_exact",
+    "mixture_rates", "pack_sequences", "pii_scrub", "source_mixing",
+    "split_sized", "text_lang_id", "text_token_stats", "windowed_rollup",
+    "text_quality", "bpe_token_count", "confidence_bands",
+    "json_parse_chain", "media_features", "text_repetition",
+    "perplexity_filter", "sample_explode", "annotator_union",
+    "doc_json_payloads", "media_frame_sample", "media_payload_decode",
+    "media_resize_plan", "pack_sequences_bpe", "resume_anti_join",
+    "sessionize", "corpus_curation", "similarity_topk", "training_pipeline",
+    "majority_vote", "scan_limit", "decontaminate", "extract_lineage",
+    "similarity_ivf_topk", "sample_gate", "similarity_lsh_topk",
+    "tsv_span_sink", "dedup_simhash", "extract_spans",
+    "sampling_effectiveness", "sampling_stats", "eval_overall",
+    "dedup_ngram_jaccard", "embedding_near_dups", "eval_doc_accuracy",
+    "quality_classifier", "matcher_semantics", "streaming_increment",
+    "dedup_minhash_lsh", "streaming_digest_counts", "dedup_clusters",
+    "extract_lineage_global", "dedup_corpus", "highest_confidence_vote",
+    "source_filter", "extract_spans_wide", "weighted_vote",
+    "eval_field_accuracy", "annotation_pipeline", "ensemble_extract",
 ]
 
 
