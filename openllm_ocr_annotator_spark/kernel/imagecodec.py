@@ -98,9 +98,22 @@ def _ppm_header(payload: bytes, pos: int) -> tuple[int, int, int, int]:
         j = i
         while j < len(payload) and not payload[j : j + 1].isspace():
             j += 1
-        fields.append(int(payload[i:j]))
+        try:
+            fields.append(int(payload[i:j]))
+        except ValueError:
+            raise ValueError(
+                f"corrupt PPM header: non-numeric field {payload[i:j]!r} at byte {i}"
+            ) from None
         i = j
     width, height, maxval = fields
+    # Explicit bounds per the netpbm spec: dimensions strictly positive,
+    # maxval in (0, 65536). Unchecked, a negative/zero field makes the
+    # caller's frame loop advance ``pos`` by a non-positive byte count and
+    # re-parse the same header forever (a hung executor task, not an error).
+    if width <= 0 or height <= 0:
+        raise ValueError(f"corrupt PPM header: dimensions {width}x{height} at byte {pos}")
+    if not (0 < maxval < 65536):
+        raise ValueError(f"corrupt PPM header: maxval {maxval} at byte {pos}")
     if maxval >= 256:
         bands *= 2  # 16-bit samples
     return width, height, bands, i + 1  # single whitespace after maxval
@@ -112,8 +125,11 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int]:
     n_frames = 1
     pos += width * height * bands
     while pos < len(payload):
+        prev = pos
         w2, h2, b2, pos = _ppm_header(payload, pos)
         pos += w2 * h2 * b2
+        if pos <= prev:  # defense-in-depth: a frame must consume >=1 byte
+            raise ValueError(f"corrupt PPM stream: frame at byte {prev} consumed no bytes")
         n_frames += 1
     return width, height, n_frames
 

@@ -167,13 +167,22 @@ def minhash_lsh_pairs(
     docs: DataFrame, num_perm: int = 64, num_bands: int = 16,
     threshold: float = 0.7, shingle_n: int = 3,
     max_bucket_size: int = 1000, seed: int = 42,
+    caches: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding + signature-estimated Jaccard.
 
     rows-per-band = num_perm/num_bands tunes the S-curve: with 64 perms /
     16 bands (4 rows), P(candidate) ≈ 1-(1-j^4)^16 — steep near j≈0.6.
+
+    The signature relation is cached (consumed by banding AND the estimate
+    join); pass ``caches=[]`` to receive it and ``unpersist()`` after the
+    result is materialized — same caller-owned-release contract as
+    ``ngram_jaccard_pairs``. Long-lived drivers should always pass it;
+    short-lived ones may rely on context teardown.
     """
     sigs = minhash_signatures(docs, num_perm, shingle_n, seed=seed).cache()
+    if caches is not None:
+        caches.append(sigs)
 
     def band_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -232,6 +241,7 @@ def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
     max_bucket_size: int = 1000,
+    caches: list | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole chunk banding.
 
@@ -239,6 +249,8 @@ def simhash_pairs(
     at least one identical chunk — join on chunks, verify exact hamming.
     ``max_bucket_size`` caps pathological chunk buckets (mega-boilerplate
     clusters → bucket² join rows), same documented drop as the MinHash path.
+    Pass ``caches=[]`` to receive the cached hash relation for caller-owned
+    ``unpersist()`` (same contract as ``ngram_jaccard_pairs``).
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
@@ -257,6 +269,8 @@ def simhash_pairs(
     hashes = spread_partitions(docs.select(id_col, text_col), id_col).mapInPandas(
         kernel, schema="doc_id long, simhash long"
     ).cache()
+    if caches is not None:
+        caches.append(hashes)
 
     chunks = hashes.select(
         "doc_id",
@@ -381,32 +395,40 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    for it in range(max_iter):
-        new_labels = _propagate_round(edges, labels).localCheckpoint(eager=True)
-        probe = (it + 1) % max(check_every, 1) == 0 or it == max_iter - 1
-        if probe:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-        labels = new_labels
-        if probe and changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} iterations — "
-            "component diameter exceeds 2^max_iter, which indicates corrupt "
-            "pair input rather than a real corpus"
+    # try/finally (ADVICE r3): the persisted edges relation must be released
+    # even when the loop raises (non-convergence, executor failure) — a
+    # long-lived driver would otherwise leak it until LRU eviction. Old
+    # localCheckpoint label frames are released by Spark's ContextCleaner
+    # once the previous-round Python reference drops (the designed GC path
+    # for checkpointed RDDs); only the explicit persist needs manual release.
+    try:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint(eager=True)
         )
-    edges.unpersist()
+        for it in range(max_iter):
+            new_labels = _propagate_round(edges, labels).localCheckpoint(eager=True)
+            probe = (it + 1) % max(check_every, 1) == 0 or it == max_iter - 1
+            if probe:
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "node")
+                    .filter(F.col("n.label") != F.col("o.label"))
+                    .count()
+                )
+            labels = new_labels
+            if probe and changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iter} iterations — "
+                "component diameter exceeds 2^max_iter, which indicates corrupt "
+                "pair input rather than a real corpus"
+            )
+    finally:
+        edges.unpersist()
     clustered = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -198,12 +198,36 @@ def test_imagecodec_roundtrip_and_errors():
     assert C.decode_bmp(bytes(bmp)) == (6, 4, 1)
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="magic"):
-        C.decode_geometry(b"\x89PNG\r\n\x1a\n")
     with _pytest.raises(ValueError, match="GIF"):
         C.decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x99")
     with _pytest.raises(ValueError):
         C.encode_gif(70000, 1)
+
+
+def test_ppm_corrupt_headers_raise_not_hang():
+    """ADVICE (r3, high): negative/zero/over-range header fields must raise a
+    named ValueError immediately — before the fix, ``P6 4 -1 255`` advanced
+    the frame loop by a negative byte count and re-parsed the same header
+    forever, hanging the executor task on one corrupt document."""
+    import pytest as _pytest
+
+    from openllm_ocr_annotator_spark.kernel import imagecodec as C
+
+    for payload in (
+        b"P6 4 -1 255\n" + b"\x00" * 8,  # negative height (the reported hang)
+        b"P6 -3 2 255\n",  # negative width
+        b"P6 0 4 255\n" + b"\x00" * 8,  # zero width
+        b"P6 4 0 255\n",  # zero height
+        b"P6 4 4 0\n",  # zero maxval
+        b"P6 4 4 70000\n",  # maxval out of u16 range
+    ):
+        with _pytest.raises(ValueError, match="corrupt PPM header"):
+            C.decode_ppm(payload)
+    # truncated / non-numeric headers get a named error, not int(b'')'s bare one
+    with _pytest.raises(ValueError, match="non-numeric field"):
+        C.decode_ppm(b"P6 4")
+    with _pytest.raises(ValueError, match="non-numeric field"):
+        C.decode_ppm(b"P6 a b 255\n")
 
 
 def test_media_strict_errors_name_the_prerequisite(spark):
