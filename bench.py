@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE SHORT JSON line to stdout:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+and writes the FULL artifact (per-trial spreads, canary drift, scaling
+evidence) to BENCH_LOCAL.json next to this file. The round-3 driver
+artifact had ``parsed: null`` because the single stdout line outgrew the
+driver's tail-capture window — so stdout now carries only the contract
+fields plus headline numbers (compact separators, 2-dp rounding) and
+everything else goes to the file; Spark/progress noise goes to stderr.
 
 Headline = end-to-end span-extraction throughput (docs/sec, the north-rule
 metric) over a MATERIALIZED north-rule span table: the synthesizer writes
@@ -14,11 +20,17 @@ Scaling evidence (N vs 4N cores) is produced by scripts/scaling_bench.py,
 which reuses ``prepare_input`` / ``run_extract_bench`` at two parallelism
 levels on the identical input directory.
 
-Trust model: every number is best-of-3 with a dispersion guard
-(``timed_best``): trials disagreeing by >2× trigger up to 3 re-measures,
-and queries still noisy after that are listed in the output's ``noisy``
-field with per-query spreads in ``trial_spread`` — so a reader can tell an
-engine regression from host interference without re-running anything.
+Trust model (two layers, both recorded):
+
+1. Dispersion guard (``timed_best``): best-of-3; trials disagreeing by >2×
+   trigger up to 3 re-measures; still-noisy queries are flagged.
+2. Canary calibration: a FIXED tiny JVM-side job is timed immediately
+   before every trial. Sustained interference (the dispersion guard's
+   blind spot — all trials equally slow, spread looks clean) shows up as
+   canary drift vs the session-best canary. Trials whose canary drifts
+   >1.8× are discarded when any clean-window trial exists; per-query
+   canary drift of the KEPT trial is recorded so a reader can tell "the
+   engine got slower" from "the box was busy" without re-running.
 """
 
 from __future__ import annotations
@@ -67,13 +79,47 @@ def run_extract_bench(spark, input_dir: str, num_partitions: int):
     return n_docs, stats.spans, dt
 
 
+class Canary:
+    """Fixed tiny JVM-side workload, timed before every trial.
+
+    The job (a codegen'd range-agg) is CPU-bound, allocation-light, and
+    identical every call, so its runtime is a pure read of host contention:
+    on a quiet window it is flat; under a noisy neighbor it stretches by
+    roughly the same factor the real queries do. ``ref`` is the session-best
+    (minimum) canary time — drift = canary/ref ≈ the interference multiple
+    of the window a trial ran in.
+    """
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.ref = float("inf")
+
+    def probe(self) -> float:
+        """Min-of-2 probe: a single probe carries ~1.3-1.7× scheduling
+        jitter on this box (measured); the min of two back-to-back runs is
+        a stable read of the window while still being cheap (~0.4s)."""
+
+        def one() -> float:
+            t0 = time.perf_counter()
+            self.spark.range(100_000_000).selectExpr(
+                "count(if(id % 7 = 0, 1, null)) as c", "sum(id * 3 + 1) as s"
+            ).collect()
+            return time.perf_counter() - t0
+
+        dt = min(one(), one())
+        self.ref = min(self.ref, dt)
+        return dt
+
+
 def timed_best(
     run,
+    canary: Canary | None = None,
     trials: int = 3,
     spread_limit: float = 2.0,
     max_extra: int = 3,
-) -> tuple[float, float, bool]:
-    """Best-of-N with a dispersion guard.
+    drift_limit: float = 1.8,
+) -> tuple[float, float, bool, float]:
+    """Best-of-N with a dispersion guard and canary window-quality filter.
 
     The sandbox box shows ±2× (occasionally ~12×) noisy-neighbor spikes; a
     recorded number whose trials disagree by more than ``spread_limit`` is
@@ -81,20 +127,46 @@ def timed_best(
     6-14× outliers on three queries that re-measured clean in isolation).
     So: run ``trials`` times; while max/min exceeds the limit, re-measure
     (up to ``max_extra`` extra trials — each later trial runs against a
-    quieter window with higher probability) and keep the min. Returns
-    (best_seconds, final_spread, still_noisy).
+    quieter window with higher probability) and keep the min.
+
+    SUSTAINED interference defeats that guard (all trials equally slow →
+    spread clean, number 2× wrong — the round-3 artifact). The canary probe
+    runs before each trial; trials whose canary drifted > ``drift_limit``
+    vs the session-best canary are dropped when any clean-window trial
+    exists, and one extra re-measure is spent trying to land a clean window.
+
+    Returns (best_seconds, final_spread, still_noisy, kept_trial_drift).
     """
-    times = [run() for _ in range(trials)]
+    measured: list[tuple[float, float]] = []  # (seconds, canary_drift)
+
+    def one() -> None:
+        drift_at = canary.probe() if canary is not None else 0.0
+        dt = run()
+        drift = (drift_at / canary.ref) if canary is not None else 1.0
+        measured.append((dt, round(drift, 2)))
+
+    for _ in range(trials):
+        one()
     extra = 0
-    while max(times) / max(min(times), 1e-9) > spread_limit and extra < max_extra:
-        times.append(run())
+
+    def clean() -> list[tuple[float, float]]:
+        ok = [m for m in measured if m[1] <= drift_limit]
+        return ok if ok else measured
+
+    def spread_of(ms: list[tuple[float, float]]) -> float:
+        ts = sorted(t for t, _ in ms)[:trials]
+        return max(ts) / max(min(ts), 1e-9)
+
+    while extra < max_extra and (
+        spread_of(clean()) > spread_limit
+        or all(d > drift_limit for _, d in measured)
+    ):
+        one()
         extra += 1
-    best = min(times)
-    # spread over the BEST ``trials`` measurements: one early spike must not
-    # keep flagging a query whose later re-measures agree
-    settled = sorted(times)[:trials]
-    spread = max(settled) / max(min(settled), 1e-9)
-    return best, round(spread, 2), spread > spread_limit
+    kept = clean()
+    best, best_drift = min(kept, key=lambda m: m[0])
+    spread = spread_of(kept)
+    return best, round(spread, 2), spread > spread_limit, best_drift
 
 
 def main() -> None:
@@ -124,6 +196,10 @@ def main() -> None:
         input_dir = prepare_input(spark, sf_dir, replicate, work_dir)
         noisy: list[str] = []
         spreads: dict[str, float] = {}
+        drifts: dict[str, float] = {}
+        canary = Canary(spark)
+        for _ in range(3):  # seed the session-best canary reference
+            canary.probe()
 
         # Headline = the default plan: shuffle-free extraction over the scan
         # partitioning (extract_pipeline with num_partitions=None).
@@ -136,21 +212,24 @@ def main() -> None:
             n_spans_box[:] = [s]
             return dt
 
-        dt, sp, bad = timed_best(run_headline)
+        dt, sp, bad, drift = timed_best(run_headline, canary)
         n_docs, n_spans = n_docs_box[0], n_spans_box[0]
         timings["extract_e2e"] = round(dt, 3)
         spreads["extract_e2e"] = sp
+        drifts["extract_e2e"] = drift
         if bad:
             noisy.append("extract_e2e")
         docs_per_sec = round(n_docs / dt, 1)
         # salted variant: full repartition before the kernel — the skew
         # insurance for corpora whose mega-docs cluster in scan splits;
         # the delta prices that insurance (a full-corpus shuffle)
-        sdt, sp, bad = timed_best(
-            lambda: run_extract_bench(spark, input_dir, num_partitions=cpus * 2)[2]
+        sdt, sp, bad, drift = timed_best(
+            lambda: run_extract_bench(spark, input_dir, num_partitions=cpus * 2)[2],
+            canary,
         )
         timings["extract_salted"] = round(sdt, 3)
         spreads["extract_salted"] = sp
+        drifts["extract_salted"] = drift
         if bad:
             noisy.append("extract_salted")
 
@@ -198,9 +277,10 @@ def main() -> None:
                 spark.catalog.clearCache()
                 return elapsed
 
-            best, sp, bad = timed_best(run_query)
+            best, sp, bad, drift = timed_best(run_query, canary)
             timings[name] = round(best, 3)
             spreads[name] = sp
+            drifts[name] = drift
             if bad:
                 noisy.append(name)
 
@@ -222,28 +302,56 @@ def main() -> None:
                 "target": p.get("target"),
                 "pass": p.get("pass"),
             }
-        print(
-            json.dumps(
-                {
-                    "metric": "e2e_suite_seconds",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": _sf_of(sf_dir),
-                    "extract_docs": n_docs,
-                    "extract_spans": n_spans,
-                    "extract_docs_per_sec": docs_per_sec,
-                    "extract_salted_docs_per_sec": round(n_docs / sdt, 1),
-                    "scaling": scaling,
-                    "cpus": cpus,
-                    # dispersion audit: per-query max/min over the settled
-                    # best-of-3 window; names in "noisy" still exceeded 2×
-                    # after re-measures — treat those rows as unreliable
-                    "trial_spread": spreads,
-                    "noisy": noisy,
-                }
-            )
+        # window quality over the whole run: max kept-trial canary drift.
+        # <=1.8 → every recorded number came from a clean window; higher →
+        # that many queries only ever saw a degraded window (number is at
+        # most ~drift× pessimistic — the honest tag VERDICT r3 #3 asked for)
+        worst_drift = max(drifts.values()) if drifts else 1.0
+        full = {
+            "metric": "e2e_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_of(sf_dir),
+            "extract_docs": n_docs,
+            "extract_spans": n_spans,
+            "extract_docs_per_sec": docs_per_sec,
+            "extract_salted_docs_per_sec": round(n_docs / sdt, 1),
+            "scaling": scaling,
+            "cpus": cpus,
+            # dispersion audit: per-query max/min over the settled
+            # best-of-3 window; names in "noisy" still exceeded 2×
+            # after re-measures — treat those rows as unreliable
+            "trial_spread": spreads,
+            "noisy": noisy,
+            # canary audit: drift of the KEPT trial's window vs the
+            # session-best canary (1.0 = clean window; >1.8 = the query
+            # never landed a clean window, number is pessimistic)
+            "canary_ref_sec": round(canary.ref, 3),
+            "canary_drift": drifts,
+            "window_quality": "clean" if worst_drift <= 1.8 else "degraded",
+        }
+        local_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
         )
+        with open(local_path, "w") as f:
+            json.dump(full, f, indent=1)
+        # stdout: ONE SHORT line (the driver tail-captures it; the round-3
+        # full dict overflowed the window and recorded parsed:null) —
+        # contract fields + headline numbers only, compact separators.
+        slim = {
+            "metric": "e2e_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": _sf_of(sf_dir),
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "extract_docs_per_sec": docs_per_sec,
+            "scaling_efficiency": (scaling or {}).get("efficiency"),
+            "window_quality": full["window_quality"],
+            "noisy": noisy,
+            "detail": "BENCH_LOCAL.json",
+        }
+        print(json.dumps(slim, separators=(",", ":")))
     finally:
         spark.stop()
 
