@@ -233,7 +233,9 @@ def main() -> None:
         if bad:
             noisy.append("extract_salted")
 
-        queries = entry.queries()
+        # bench rows come from the FULL catalog (folded members are still the
+        # units worth timing individually), not the consolidated driver surface
+        from openllm_ocr_annotator_spark.queries_catalog import QUERIES as queries
         for name in [
             "weighted_vote",
             "majority_vote",

@@ -95,22 +95,31 @@ def check_dtypes(name, sdf, arrow_tbl, fails) -> bool:
 from openllm_ocr_annotator_spark.queries_catalog import (
     GOLDEN_ORACLE_QUERIES,
     GOLDEN_ORACLE_SF,
+    ORACLES,
+    QUERIES,
 )
 
+# the driver sees the consolidated ≤50-name surface (m.queries()); this
+# harness checks the FULL catalog — every folded member query keeps its
+# individual value check here, plus the composites the driver records
+assert set(m.queries()) <= set(QUERIES)
+assert set(m.oracle_sql()) <= set(ORACLES)
+assert len(m.queries()) <= 50, "driver record caps at 50 rows"
+
 fails = []
-for name, sql in m.oracle_sql().items():
+for name, sql in ORACLES.items():
     if name in GOLDEN_ORACLE_QUERIES and os.path.realpath(SF_DIR) != os.path.realpath(
         GOLDEN_ORACLE_SF
     ):
         # golden parquet pins the driver's sf0.01 gate; at other scales the
         # value compare is meaningless — fall back to a rows-only probe
-        cnt = m.queries()[name](spark, SF_DIR).count()
+        cnt = QUERIES[name](spark, SF_DIR).count()
         print(f"{name:28s} GOLDEN-SKIP at {SF_DIR} ({cnt} rows)")
         continue
     import time
 
     t0 = time.perf_counter()
-    sdf = m.queries()[name](spark, SF_DIR)
+    sdf = QUERIES[name](spark, SF_DIR)
     cols = sorted(sdf.columns)
     srows = [row.asDict() for row in sdf.collect()]
     q_secs = time.perf_counter() - t0
@@ -130,21 +139,22 @@ for name, sql in m.oracle_sql().items():
         fails.append((name, f"{len(a)} vs {len(b)} rows; sample {diff[:2]}"))
     print(f"{name:28s} {status}  ({len(a)} rows, {q_secs:.1f}s)")
 
-rows_only = [q for q in m.queries() if q not in m.oracle_sql()]
+rows_only = [q for q in QUERIES if q not in ORACLES]
 import time as _t
 
 for name in rows_only:
     _t0 = _t.perf_counter()
-    cnt = m.queries()[name](spark, SF_DIR).count()
+    cnt = QUERIES[name](spark, SF_DIR).count()
     print(f"{name:28s} ROWS-ONLY ({cnt} rows, {_t.perf_counter() - _t0:.1f}s)")
 
 # every catalog entry must have produced a result line above — a query
 # silently absent from the record (the round-2 driver hole) fails here
-checked = set(m.oracle_sql().keys()) | set(rows_only)
-missing = set(m.queries().keys()) - checked
+checked = set(ORACLES.keys()) | set(rows_only)
+missing = set(QUERIES.keys()) - checked
 if missing:
     fails.append(("catalog", f"queries with no result row: {sorted(missing)}"))
-print(f"checked {len(checked)}/{len(m.queries())} catalog queries")
+print(f"checked {len(checked)}/{len(QUERIES)} catalog queries "
+      f"(driver-facing surface: {len(m.queries())})")
 
 print("FAILURES:", fails if fails else "none")
 spark.stop()
