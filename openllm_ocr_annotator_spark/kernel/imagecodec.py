@@ -1,4 +1,4 @@
-"""Dependency-free image codecs: BMP / PPM (incl. P6 frame streams) / GIF.
+"""Dependency-free image codecs: BMP / PPM (incl. P6 frame streams) / GIF / PNG.
 
 The container has no PIL/ffmpeg, so the engine's real-decode leg
 (operators/media.py) would otherwise be code that never executes. These are
@@ -196,6 +196,104 @@ def _skip_subblocks(payload: bytes, pos: int) -> int:
 
 
 # --------------------------------------------------------------------------
+# PNG (stdlib zlib; spec: https://www.w3.org/TR/png-3/ public chunk layout)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# bytes per pixel for 8-bit depth by color type: gray, truecolor, indexed,
+# gray+alpha, truecolor+alpha
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(width: int, height: int) -> bytes:
+    """Real 8-bit truecolor PNG with a deterministic pixel pattern: IHDR +
+    one zlib-compressed IDAT of filter-0 scanlines + IEND, CRCs included —
+    round-trips through any spec decoder (ours below, PIL where present)."""
+    import zlib
+
+    if width <= 0 or height <= 0:
+        raise ValueError("PNG dimensions must be positive")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None) per scanline
+        for x in range(width):
+            raw += bytes(((x + y) % 256, (2 * x + y) % 256, (x + 2 * y) % 256))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int]:
+    """Chunk walk → IHDR geometry, verified by REALLY inflating the IDAT
+    stream and checking the unfiltered scanline payload has exactly
+    height·(1 + width·bpp) bytes (so a lying header or truncated stream
+    raises instead of passing). n_frames = acTL num_frames for APNG, 1
+    otherwise. 8-bit depths only — others raise (PIL remains the
+    wider-coverage path where importable)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bpp = 0
+    n_frames = 1
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError(f"corrupt PNG: truncated {ctype!r} chunk at {pos}")
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, _inter = struct.unpack_from(
+                ">IIBBBBB", data, 0
+            )
+            if width <= 0 or height <= 0:
+                raise ValueError(f"corrupt PNG header: dimensions {width}x{height}")
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth {depth}, color type {color}); "
+                    "only 8-bit depths decode dependency-free"
+                )
+            bpp = _PNG_CHANNELS[color]
+        elif ctype == b"acTL":  # APNG animation control: frame count
+            (n_frames,) = struct.unpack_from(">I", data, 0)
+            n_frames = max(n_frames, 1)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if width is None:
+        raise ValueError("corrupt PNG: no IHDR chunk")
+    if not idat:
+        raise ValueError("corrupt PNG: no IDAT data")
+    raw = zlib.decompress(bytes(idat))
+    expect = height * (1 + width * bpp)
+    if len(raw) != expect:
+        raise ValueError(
+            f"corrupt PNG: inflated {len(raw)} bytes, geometry implies {expect}"
+        )
+    if any(raw[y * (1 + width * bpp)] > 4 for y in range(height)):
+        raise ValueError("corrupt PNG: invalid scanline filter type")
+    return width, height, n_frames
+
+
+# --------------------------------------------------------------------------
 # dispatch
 # --------------------------------------------------------------------------
 
@@ -207,6 +305,8 @@ def decode_geometry(payload: bytes) -> tuple[int, int, int]:
     parsers' internal struct/index errors must not escape as anything but
     ValueError, or the lenient fake-fallback path would crash instead of
     falling back (pinned by tests)."""
+    import zlib
+
     try:
         if payload[:2] == b"BM":
             return decode_bmp(payload)
@@ -214,6 +314,8 @@ def decode_geometry(payload: bytes) -> tuple[int, int, int]:
             return decode_ppm(payload)
         if payload[:3] == b"GIF":
             return decode_gif(payload)
-    except (struct.error, IndexError) as e:
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
+    except (struct.error, IndexError, zlib.error) as e:
         raise ValueError(f"corrupt {payload[:2]!r} payload: {e}") from e
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")

@@ -188,10 +188,12 @@ def media_payload_row(doc_id: int, source: str) -> tuple[str, str, str, bytes]:
         kind     = video if doc_id % 3 == 0 else image
         n_frames = 1 + doc_id % 6 for video, 1 for image
 
-    Format varies (images: BMP for even ids, single-frame PPM for odd;
-    videos: GIF when doc_id % 6 == 0, concatenated-P6 stream otherwise) so
-    every parser is exercised by the driver check, while the geometry
-    formula stays uniform across formats.
+    Format varies (images: real zlib-compressed PNG when doc_id % 5 < 2,
+    else BMP for even ids / single-frame PPM for odd; videos: GIF when
+    doc_id % 6 == 0, concatenated-P6 stream otherwise) so every parser in
+    kernel/imagecodec.py — including the PNG chunk+inflate path — is
+    exercised by the driver check, while the geometry formula stays
+    uniform across formats.
     """
     from .kernel import imagecodec as C
 
@@ -205,7 +207,9 @@ def media_payload_row(doc_id: int, source: str) -> tuple[str, str, str, bytes]:
             ext, payload = "ppms", C.encode_ppm_stream(width, height, n_frames)
         kind = "video"
     else:
-        if doc_id % 2 == 0:
+        if doc_id % 5 < 2:
+            ext, payload = "png", C.encode_png(width, height)
+        elif doc_id % 2 == 0:
             ext, payload = "bmp", C.encode_bmp(width, height)
         else:
             ext, payload = "ppm", C.encode_ppm(width, height)
