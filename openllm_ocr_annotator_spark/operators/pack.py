@@ -131,19 +131,30 @@ def mixture_rates(
     Output: (stratum, n_docs, rate). One aggregation + one scalar-min
     broadcast join — no corpus shuffle beyond the count.
 
-    Cross-engine note: with the default τ=0.5 the rate is
-    sqrt(min_count / count); sqrt and division are IEEE-correctly-rounded
-    in BOTH engines, so the DuckDB oracle is value-exact. Other τ go
-    through pow(), whose last-ulp behavior is libm-dependent — the
-    documented trade-off if a non-default τ needs an oracle.
+    Cross-engine note: τ ∈ {0.25, 0.5, 0.75} are computed as compositions
+    of sqrt / multiply / divide — each IEEE-correctly-rounded in BOTH
+    engines, so the DuckDB oracle is value-exact for all three (the
+    round-3 gap was that only τ=0.5 had this treatment):
+
+        τ=0.5  → w = 1 / sqrt(c)                  (c^-1/2)
+        τ=0.25 → w = 1 / (sqrt(c)·sqrt(sqrt(c)))  (c^-3/4)
+        τ=0.75 → w = 1 / sqrt(sqrt(c))            (c^-1/4)
+
+    Any other τ goes through pow(), whose last-ulp behavior is
+    libm-dependent — the documented trade-off for arbitrary temperatures.
     """
     counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    c = F.col("n_docs").cast("double")
     if temperature == 0.5:
-        weight = F.lit(1.0) / F.sqrt(F.col("n_docs").cast("double"))
+        weight = F.lit(1.0) / F.sqrt(c)
+    elif temperature == 0.25:
+        weight = F.lit(1.0) / (F.sqrt(c) * F.sqrt(F.sqrt(c)))
+    elif temperature == 0.75:
+        weight = F.lit(1.0) / F.sqrt(F.sqrt(c))
     else:
-        weight = F.pow(F.col("n_docs").cast("double"), F.lit(temperature - 1.0))
+        weight = F.pow(c, F.lit(temperature - 1.0))
     weighted = counts.withColumn("_w", weight)
     max_w = weighted.agg(F.max("_w").alias("_mw"))
     return (

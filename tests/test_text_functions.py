@@ -219,3 +219,27 @@ def test_mixture_rates_temperature_contract(spark):
     assert math.isclose(got["big"][1], math.sqrt(100 / 400), rel_tol=1e-6)
     # expected kept ∝ sqrt(c): 400*0.5 = 200, 100*1.0 = 100 → ratio 2 = sqrt(400/100)
     assert math.isclose(400 * got["big"][1] / (100 * got["small"][1]), 2.0, rel_tol=1e-6)
+
+
+def test_mixture_rates_dyadic_taus(spark):
+    """τ=0.25 / 0.75 via sqrt compositions (VERDICT r3 #5): rates equal
+    (min_c / c)^(1-τ) and use NO pow() in the plan — pure-math cross-check
+    for both dyadic temperatures, plus flattening ordering (smaller τ
+    flattens harder → lower rate for the big source)."""
+    import math
+
+    from openllm_ocr_annotator_spark.operators.pack import mixture_rates
+
+    rows = [(i, "big") for i in range(400)] + [(i + 1000, "small") for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    r25 = {r.stratum: r.rate for r in mixture_rates(docs, temperature=0.25).collect()}
+    r75 = {r.stratum: r.rate for r in mixture_rates(docs, temperature=0.75).collect()}
+    assert r25["small"] == 1.0 and r75["small"] == 1.0
+    assert math.isclose(r25["big"], (25 / 400) ** 0.75, rel_tol=1e-6)
+    assert math.isclose(r75["big"], (25 / 400) ** 0.25, rel_tol=1e-6)
+    assert r25["big"] < 0.5 ** (2 * 1.5) + 1e-9  # harder flattening at τ=0.25
+    assert r25["big"] < r75["big"]
+    # the dyadic paths must not contain a pow() call (libm-portability pin)
+    for tau in (0.25, 0.5, 0.75):
+        plan = mixture_rates(docs, temperature=tau)._jdf.queryExecution().toString()
+        assert "POWER" not in plan.upper(), f"tau={tau} uses pow()"
