@@ -1,6 +1,7 @@
 """CCNet-style perplexity filtering over a corpus (broadcast LM).
 
-Train the bigram stupid-backoff LM (kernel/lm.py) on a bounded in-domain
+Train a stupid-backoff LM (kernel/lm.py: bigram floor or KenLM-style
+5-gram via ``order``) on a bounded in-domain
 sample (driver-side — same rule as the BPE trainer / IVF quantizer /
 quality classifier: fit on a sample, broadcast the model), then score
 every document's perplexity in one narrow ``mapInPandas`` pass and gate on
@@ -34,10 +35,14 @@ def train_lm_from_sources(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
-) -> L.BigramLM:
+    order: int = 2,
+) -> L.BigramLM | L.NgramLM:
     """Bounded driver-side LM training on the reference (in-domain) slice
     of the first ``sample_docs`` docs by id — the CCNet setup with the
-    curated corpus expressed as a source subset."""
+    curated corpus expressed as a source subset. ``order=2`` gives the
+    bigram floor; ``order>=3`` the KenLM-style raw-count stupid-backoff
+    model (kernel/lm.train_ngram_lm) — same bounded-training + broadcast +
+    narrow-pass shape, production uses order 5."""
     rows = (
         docs.filter(F.col(source_col).isin(*reference_sources))
         .select(F.col(text_col).alias("t"), F.col(id_col).alias("k"))
@@ -45,12 +50,15 @@ def train_lm_from_sources(
         .limit(sample_docs)
         .collect()
     )
-    return L.train_bigram_lm([str(r.t) for r in rows])
+    texts = [str(r.t) for r in rows]
+    if order <= 2:
+        return L.train_bigram_lm(texts)
+    return L.train_ngram_lm(texts, order=order)
 
 
 def score_perplexity(
     docs: DataFrame,
-    lm: L.BigramLM,
+    lm: L.BigramLM | L.NgramLM,
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "perplexity",
@@ -59,6 +67,7 @@ def score_perplexity(
     if out_col in docs.columns:
         raise ValueError(f"score_perplexity: input already has {out_col!r}")
     bc = docs.sparkSession.sparkContext.broadcast(lm)
+    scorer = L.ngram_perplexity if isinstance(lm, L.NgramLM) else L.perplexity
     other_cols = [c for c in docs.columns if c != text_col]
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -71,7 +80,7 @@ def score_perplexity(
         for pdf in batches:
             out = pdf[other_cols].copy()
             out[out_col] = [
-                L.perplexity(str(t) if t is not None else "", model)
+                scorer(str(t) if t is not None else "", model)
                 for t in pdf[text_col]
             ]
             yield out
@@ -81,7 +90,7 @@ def score_perplexity(
 
 def perplexity_filter(
     docs: DataFrame,
-    lm: L.BigramLM,
+    lm: L.BigramLM | L.NgramLM,
     max_perplexity: float,
     id_col: str = "doc_id",
     text_col: str = "text",

@@ -475,22 +475,27 @@ ref_texts = [
     if s in REF_SOURCES
 ][:200]
 lm_model = LM.train_bigram_lm(ref_texts)
+lm5_model = LM.train_ngram_lm(ref_texts, order=5)
 ppl_rows = [
-    (int(d), round(LM.perplexity(str(t), lm_model), 6))
+    ("bigram", int(d), round(LM.perplexity(str(t), lm_model), 6))
+    for d, t in zip(flat_src["doc_id"], flat_src["text"])
+] + [
+    ("5gram", int(d), round(LM.ngram_perplexity(str(t), lm5_model), 6))
     for d, t in zip(flat_src["doc_id"], flat_src["text"])
 ]
 pq.write_table(
     pa.table(
         {
-            "doc_id": pa.array([r[0] for r in ppl_rows], pa.int64()),
-            "perplexity": pa.array([r[1] for r in ppl_rows], pa.float64()),
+            "model": pa.array([r[0] for r in ppl_rows], pa.string()),
+            "doc_id": pa.array([r[1] for r in ppl_rows], pa.int64()),
+            "perplexity": pa.array([r[2] for r in ppl_rows], pa.float64()),
         }
     ),
     os.path.join(OUT_DIR, "perplexity.parquet"),
 )
 import statistics  # noqa: E402
 
-vals = [r[1] for r in ppl_rows]
+vals = [r[2] for r in ppl_rows if r[0] == "bigram"]
 print(
     f"golden extra: {len(ppl_rows)} perplexities "
     f"(min {min(vals):.1f} median {statistics.median(vals):.1f} max {max(vals):.1f})"
