@@ -79,6 +79,41 @@ def test_pack_sequences_greedy_contract(spark):
     assert summary[("b", 0)] == (1, 3000)
 
 
+def test_pack_sequences_dense_reset_contract(spark):
+    """DENSE reset-on-overflow packing (VERDICT r3 #7): a doc joins the
+    current pack iff it FITS; otherwise it OPENS the next pack (contrast
+    with the boundary packer, where the crossing doc overflows its pack).
+    Ids are consecutive 0,1,2,… per stream."""
+    from openllm_ocr_annotator_spark.operators.pack import (
+        greedy_pack_ids,
+        pack_sequences_dense,
+    )
+
+    # Pure kernel first: the recurrence the Spark path must reproduce.
+    assert greedy_pack_ids([600, 600, 600, 600, 600], 2048) == [0, 0, 0, 1, 1]
+    assert greedy_pack_ids([3000, 10], 2048) == [0, 1]  # oversized → own pack
+    assert greedy_pack_ids([], 2048) == []
+
+    rows = [
+        ("a", "d1", 600), ("a", "d2", 600), ("a", "d3", 600),
+        ("a", "d4", 600),   # 1800+600 > 2048 → RESET: d4 opens pack 1
+        ("a", "d5", 600),   # 600+600 fits → stays in pack 1
+        ("b", "d1", 3000),  # oversized doc: own pack 0
+        ("b", "d2", 10),    # 3000+10 > 2048 → pack 1
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id string, n_tokens long")
+    got = {(r.source, r.doc_id): r.pack_id
+           for r in pack_sequences_dense(docs, budget=2048).collect()}
+    assert got[("a", "d1")] == 0 and got[("a", "d2")] == 0 and got[("a", "d3")] == 0
+    assert got[("a", "d4")] == 1  # the boundary packer keeps d4 in pack 0
+    assert got[("a", "d5")] == 1
+    assert got[("b", "d1")] == 0 and got[("b", "d2")] == 1
+    # Dense invariant: every pack except possibly a stream's last holds
+    # <= budget tokens (oversized single docs aside) and ids are dense.
+    ids_a = sorted(pid for (s, _), pid in got.items() if s == "a")
+    assert ids_a == [0, 0, 0, 1, 1]
+
+
 def test_corpus_profile_exact_stats(spark):
     from openllm_ocr_annotator_spark.operators.pack import corpus_profile
 
