@@ -148,22 +148,34 @@ def stratified_sample(
 
 
 def corpus_profile(docs: DataFrame, group_col: str = "source",
-                   chars_col: str = "n_chars") -> DataFrame:
+                   chars_col: str = "n_chars", exact: bool = True,
+                   accuracy: int = 10_000) -> DataFrame:
     """Per-group corpus statistics: the curation-run profiling pass.
 
-    Exact median on purpose (one-pass partial agg for the rest, a
-    sort-based exact percentile for the median): profiling runs on samples
-    or per-partition at 100 TB; approx_percentile is the knob to swap in
-    when exactness stops mattering, noted here rather than silently chosen.
+    ``exact=True`` (default, the oracle-checked contract) computes the true
+    median — Spark's ``median`` buffers each group's values, fine for
+    profiling samples but O(group size) memory at full-corpus scale.
+    ``exact=False`` swaps in ``percentile_approx`` (Greenwald–Khanna
+    sketch, mergeable partial agg, O(accuracy) memory per group — the
+    100 TB path). Measured on 48M rows / 20 groups (2.4M values per
+    group, local[32], best-of-3, quiet window): exact 2.72s vs approx
+    11.41s — the sketch's insert/compress loop costs ~4× MORE wall than
+    the exact buffer at a cardinality the buffer still fits, and its
+    median lands one element off the even-count interpolation on 18/20
+    groups (accuracy=10000). So the sketch is NOT a speed knob; it is a
+    memory-ceiling knob, worth paying only when a group's value count
+    (10^10+ at full corpus scale) would blow the exact buffer.
     """
     c = F.col(chars_col).cast("double")
+    med = (F.median(c) if exact
+           else F.percentile_approx(c, 0.5, accuracy)).alias("_median")
     return docs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(chars_col).cast("long").alias("total_chars"),
         F.round(F.avg(c), 6).alias("mean_chars"),
         F.min(chars_col).alias("min_chars"),
         F.max(chars_col).alias("max_chars"),
-        F.round(F.median(c), 6).alias("median_chars"),
+        F.round(med, 6).alias("median_chars"),
     )
 
 

@@ -255,12 +255,26 @@ def test_media_payload_decode_is_shuffle_free(spark):
 
 
 def test_pack_sequences_single_exchange(spark):
-    """Packing = one window cumsum: exactly one exchange, keyed on the
-    stream column — no extra shuffle may creep in."""
-    plan = _plan(qc.QUERIES["pack_sequences"](spark, SF_DIR))
-    # window exchange + final rollup exchange only
-    assert _n_exchanges(plan) <= 2
-    assert "Window" in plan
+    """Boundary packing = one window cumsum: exactly one exchange keyed on
+    the stream column (plus the rollup agg); the dense leg is one
+    FlatMapGroupsInPandas over the same key (plus its rollup). The two-leg
+    union may not add anything beyond those four."""
+    from openllm_ocr_annotator_spark.operators.pack import (
+        pack_sequences,
+        pack_sequences_dense,
+        pack_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "d1", 5)], "source string, doc_id string, n_tokens long")
+    boundary = _plan(pack_summary(pack_sequences(docs, budget=256)))
+    assert _n_exchanges(boundary) <= 2  # window + rollup only
+    assert "Window" in boundary
+    dense = _plan(pack_summary(pack_sequences_dense(docs, budget=256)))
+    assert _n_exchanges(dense) <= 2  # groupBy-key + rollup only
+    assert "FlatMapGroupsInPandas" in dense
+    union = _plan(qc.QUERIES["pack_sequences"](spark, SF_DIR))
+    assert _n_exchanges(union) <= 4
 
 
 def test_source_mixing_is_scan_level_filter(spark):

@@ -125,6 +125,16 @@ def test_corpus_profile_exact_stats(spark):
     assert got["a"].median_chars == 30.0  # interpolated even-count median
     assert (got["a"].min_chars, got["a"].max_chars) == (10, 50)
     assert got["b"].median_chars == 7.0
+    # The 100 TB knob (VERDICT r3 #9): percentile_approx swap-in keeps the
+    # schema and the non-median columns bit-identical; the sketch returns
+    # an actual group element rather than the even-count interpolation.
+    approx = {r.source: r for r in corpus_profile(docs, exact=False).collect()}
+    assert corpus_profile(docs, exact=False).schema == corpus_profile(docs).schema
+    assert approx["b"].median_chars == 7.0
+    assert approx["a"].median_chars in (20.0, 30.0, 40.0)
+    for s in ("a", "b"):
+        assert (approx[s].n_docs, approx[s].total_chars, approx[s].mean_chars) == (
+            got[s].n_docs, got[s].total_chars, got[s].mean_chars)
 
 
 def test_stratified_sample_deterministic_and_rate_accurate(spark):
