@@ -448,15 +448,26 @@ def dedup_corpus(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 30,
+    keep_by: str | None = None,
 ) -> DataFrame:
     """Full near-dup dedup pass: pairs → clusters → kept corpus rows.
 
     The convenience composition a user actually runs: resolve the pair
     relation (from any of ngram_jaccard_pairs / minhash_lsh_pairs /
     simhash_pairs) into connected components via ``dedup_clusters``, then
-    keep exactly one canonical document per cluster (min doc id) plus all
-    singletons. Output = input columns + ``cluster_id`` (the kept doc IS
-    the canonical, so cluster_id records which group it represents).
+    keep exactly one canonical document per cluster plus all singletons.
+    Output = input columns + ``cluster_id`` (which group the kept doc
+    represents).
+
+    Survivorship policy:
+    - ``keep_by=None`` (default): canonical = min doc id (the cluster
+      label itself — zero extra work).
+    - ``keep_by="<col>"``: canonical = the cluster member with the MAX
+      value of that column (ties → min doc id) — e.g. ``n_chars`` for
+      keep-longest, a quality score for keep-best. One extra mergeable
+      groupBy on cluster_id over the clustered subset: max(struct(value,
+      -id, id)) partial-aggregates map-side, so a pathological mega-cluster
+      costs a hot *map-side* combine, not a hot reducer.
 
     Scale shape: the cluster resolution works on the pair-touched subset
     only; the final filter is one join of the corpus against the keep list
@@ -464,10 +475,117 @@ def dedup_corpus(
     otherwise — the planner's call).
     """
     clusters = dedup_clusters(pairs, docs=docs, id_col=id_col, max_iter=max_iter)
-    keep = clusters.filter(F.col("keep")).select(
-        F.col("doc_id").alias(id_col), "cluster_id"
-    )
+    keep = survivors(clusters, docs, id_col=id_col, keep_by=keep_by)
     return docs.join(keep, id_col)
+
+
+def survivors(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    keep_by: str | None = None,
+) -> DataFrame:
+    """Keep list (id, cluster_id) for a resolved cluster assignment —
+    factored out of ``dedup_corpus`` so one ``dedup_clusters`` resolution
+    (the expensive iterative part) can feed several survivorship policies.
+    See ``dedup_corpus`` for the policy semantics."""
+    if keep_by is None:
+        return clusters.filter(F.col("keep")).select(
+            F.col("doc_id").alias(id_col), "cluster_id"
+        )
+    scored = clusters.join(
+        docs.select(F.col(id_col).alias("doc_id"), keep_by), "doc_id"
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(keep_by).alias("_v"),
+                    (-F.col("doc_id")).alias("_negid"),
+                    F.col("doc_id").alias("keep_id"),
+                )
+            ).alias("best")
+        )
+        .select(F.col("best.keep_id").alias(id_col), "cluster_id")
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style line-level (paragraph-level) corpus dedup.
+
+    The standard web-corpus pass (CCNet, RefinedWeb, Dolma all run a
+    variant): split every document into lines/paragraphs, and for each
+    DISTINCT line keep only its globally-first occurrence — ordered by
+    (doc id, line position) — dropping every other occurrence corpus-wide
+    (including repeats *within* one document). Lines whose trimmed length
+    is < ``min_line_chars`` never participate and are always kept (blank
+    separators survive). Returns one row per input document:
+    ``(id, n_lines, n_kept, text)`` with ``text`` rebuilt from the kept
+    lines in original order (may be empty when every line was a dup).
+
+    Scale shape (the boilerplate-skew story is the whole design):
+    - one narrow posexplode, then lines are keyed by ``xxhash64(line)`` so
+      the first-occurrence groupBy shuffles 8-byte keys, not line text;
+    - first-occurrence = min(struct(doc, line_no)) per key — a MERGEABLE
+      partial agg, so the pathological key (a boilerplate line occurring
+      10^8 times: "Home", cookie banners) collapses map-side instead of
+      melting one reducer;
+    - the join back on the hash key IS skewed at those keys — that one is
+      AQE skew-join territory (split the fat partition), not salting,
+      because the build side (one row per distinct line) is tiny per key;
+    - rebuild is a groupBy on the doc id with array_sort(collect_list) —
+      bounded by document size, the natural partitioning key.
+    64-bit hash collisions (~n²/2^65) would drop a non-dup line; at 10^12
+    lines that is ~0.03 expected false drops — the trade every production
+    line-dedup makes (exact-string verify would shuffle full text).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+    )
+    partic = F.length(F.trim(F.col("line"))) >= min_line_chars
+    keyed = lines.where(partic).withColumn("_h", F.xxhash64("line"))
+    first = keyed.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("first")
+    )
+    kept_partic = (
+        keyed.join(first, "_h")
+        .where(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("line_no") == F.col("first.line_no"))
+        )
+        .select("doc_id", "line_no", "line")
+    )
+    kept = lines.where(~partic).unionByName(kept_partic)
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_sort(F.collect_list(F.struct("line_no", "line"))).alias("_ls"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.concat_ws(sep, F.transform("_ls", lambda s: s.line)).alias("text"),
+        )
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )
 
 
 def decontaminate(

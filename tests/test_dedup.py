@@ -340,3 +340,63 @@ def test_dedup_clusters_unpersists_edges_on_failure(spark):
         time.sleep(2.0)
         leaked = persistent_ids() - base
     assert not leaked
+
+
+def test_dedup_corpus_keep_by_survivorship(spark):
+    """keep_by picks the cluster member with the MAX column value (tie →
+    min doc id) instead of the min-id canonical."""
+    from openllm_ocr_annotator_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7), (9, 1)],
+        "doc_id long, n_chars long",
+    )
+    # cluster {1,2,3} (label 1), cluster {4} via no pairs? give 4 a pair with 9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 9)], "doc_a long, doc_b long"
+    )
+    default = {r.doc_id: r.cluster_id for r in dedup_corpus(docs, pairs).collect()}
+    assert default == {1: 1, 4: 4}  # min-id canonical
+    best = {r.doc_id: r.cluster_id
+            for r in dedup_corpus(docs, pairs, keep_by="n_chars").collect()}
+    # {1,2,3}: max n_chars is 9 shared by docs 2 and 3 → tie breaks to 2;
+    # {4,9}: doc 4 (7 chars) beats doc 9 (1 char).
+    assert best == {2: 1, 4: 4}
+
+
+def test_line_dedup_first_occurrence_semantics(spark):
+    """Global first occurrence by (doc_id, line_no) wins; within-doc repeats
+    are dropped too; blank lines never participate; text is rebuilt in
+    original order."""
+    from openllm_ocr_annotator_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\n\nalpha"),   # within-doc repeat of alpha
+            (2, "beta\ngamma"),            # beta already seen in doc 1
+            (3, "alpha"),                  # fully duplicated doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert (got[1].n_lines, got[1].n_kept) == (4, 3)
+    assert got[1].text == "alpha\nbeta\n"   # blank kept, trailing dup dropped
+    assert (got[2].n_lines, got[2].n_kept) == (2, 1)
+    assert got[2].text == "gamma"
+    assert (got[3].n_lines, got[3].n_kept) == (1, 0)
+    assert got[3].text == ""                # survives as an emptied row
+
+
+def test_line_dedup_min_line_chars_gate(spark):
+    """Lines shorter than min_line_chars are always kept — they are
+    separators/structure, not content."""
+    from openllm_ocr_annotator_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x\nlong line here"), (2, "x\nlong line here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs, min_line_chars=2).collect()}
+    assert got[1].text == "x\nlong line here"
+    assert got[2].text == "x"               # short 'x' survives everywhere
+    assert got[2].n_kept == 1
