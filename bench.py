@@ -247,6 +247,7 @@ def main() -> None:
             "dedup_simhash",
             "dedup_clusters",
             "dedup_corpus",
+            "line_dedup",
             "decontaminate",
             "similarity_topk",
             "similarity_lsh_topk",

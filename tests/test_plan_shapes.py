@@ -277,6 +277,19 @@ def test_pack_sequences_single_exchange(spark):
     assert _n_exchanges(union) <= 4
 
 
+def test_line_dedup_stays_jvm_side(spark):
+    """Line dedup is pure JVM: explode → hash-keyed mergeable agg →
+    join-back → per-doc rebuild. No Python stage may appear, and the
+    shuffle count stays at the three structural exchanges (first-occurrence
+    agg + the two doc-keyed rollups; the join-back key side is
+    broadcastable at this scale)."""
+    plan = _plan(qc.QUERIES["line_dedup"](spark, SF_DIR))
+    for py in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython",
+               "BatchEvalPython"):
+        assert py not in plan, f"line_dedup grew a Python stage: {py}"
+    assert _n_exchanges(plan) <= 4
+
+
 def test_source_mixing_is_scan_level_filter(spark):
     """Stratified sampling must stay a shuffle-free filter (plus its one
     rollup agg): the mixing step cannot cost an exchange per stratum."""
