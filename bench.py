@@ -248,6 +248,7 @@ def main() -> None:
             "dedup_clusters",
             "dedup_corpus",
             "line_dedup",
+            "substring_dedup",
             "decontaminate",
             "similarity_topk",
             "similarity_lsh_topk",

@@ -588,6 +588,91 @@ def line_dedup(
     )
 
 
+def substring_dedup(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup (the ExactSubstr pass of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    k-token run that already occurred earlier in the corpus is REMOVED
+    from the document (the reference implementation removes one side of
+    each duplicated span; we pin the deterministic variant — the globally
+    first occurrence by (doc id, position) survives, every later
+    occurrence's k token positions are cut). Overlapping duplicated runs
+    merge naturally through the position-cover union. Documents shorter
+    than k tokens pass through untouched. Returns one row per document:
+    ``(id, n_tokens, n_removed, text)`` with text rebuilt from surviving
+    tokens.
+
+    Lee et al. build a single-machine suffix array; the Spark-native
+    equivalent is an overlapping-k-gram exchange, and the design lives or
+    dies on what crosses the shuffle:
+
+    - each position's k-gram STRING exists only inside one narrow
+      projection (posexplode → concat_ws → xxhash64); the shuffle carries
+      8-byte hashes + (doc, pos) — ~24 bytes/token, not k×token text;
+    - first-occurrence = min(struct(doc, pos)) per hash: MERGEABLE, so a
+      corpus-wide boilerplate k-gram partial-aggregates map-side;
+    - the join-back on the hash is AQE skew-join territory (same argument
+      as ``line_dedup``);
+    - cover positions collapse per doc (collect_set bounded by doc size),
+      and the rebuild is a two-arg-lambda ``filter((tok, i) -> ...)`` over
+      the original token array — one doc-keyed join, no second corpus
+      explode.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = docs.select(F.col(id_col).alias("doc_id"), w.alias("w")).withColumn(
+        "n", F.size("w")
+    )
+    occ = toks.where(F.col("n") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - k),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, F.lit(k))),
+            )
+        ).alias("pos", "gram"),
+    )
+    keyed = occ.select("doc_id", "pos", F.xxhash64("gram").alias("_h"))
+    first = keyed.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dups = (
+        keyed.join(first, "_h")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    cover = (
+        dups.select(
+            "doc_id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("idx")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("_cov"))
+    )
+    return (
+        toks.join(cover, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("_cov"), F.lit(0)).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "w",
+                    lambda tok, i: F.coalesce(
+                        ~F.array_contains("_cov", i), F.lit(True)
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame, benchmark: DataFrame, n: int = 5,
     id_col: str = "doc_id", text_col: str = "text",

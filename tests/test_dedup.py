@@ -400,3 +400,45 @@ def test_line_dedup_min_line_chars_gate(spark):
     assert got[1].text == "x\nlong line here"
     assert got[2].text == "x"               # short 'x' survives everywhere
     assert got[2].n_kept == 1
+
+
+def test_substring_dedup_exactsubstr_semantics(spark):
+    """Lee et al. ExactSubstr, deterministic variant: the globally-first
+    occurrence of a duplicated k-gram survives; later occurrences lose all
+    k covered positions; overlapping duplicate runs merge via the position
+    cover; docs shorter than k pass through."""
+    from openllm_ocr_annotator_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),    # source of the duplicated run
+            (2, "x a b c d y"),    # contains a b c d (dup of doc 1 pos 0..3)
+            (3, "a b"),            # shorter than k → untouched
+            (4, "a b c d e f"),    # exact copy of doc 1 → fully covered
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in substring_dedup(docs, k=4).collect()}
+    # doc 1: all its grams are first occurrences → nothing removed
+    assert (got[1].n_removed, got[1].text) == (0, "a b c d e f")
+    # doc 2: gram (a b c d) at pos 1 duplicates doc 1 pos 0 → covers idx 1-4
+    assert got[2].n_removed == 4
+    assert got[2].text == "x y"
+    # doc 3: n < k → untouched
+    assert (got[3].n_removed, got[3].text) == (0, "a b")
+    # doc 4: every gram duplicates doc 1 → all 6 positions covered
+    assert (got[4].n_removed, got[4].text) == (6, "")
+    assert got[4].n_tokens == 6
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    """A k-gram repeated WITHIN one document is also deduped (the second
+    occurrence is removed), and first-occurrence is by position order."""
+    from openllm_ocr_annotator_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s m p q r s")], "doc_id long, text string")
+    got = substring_dedup(docs, k=4).collect()[0]
+    # pos 5 gram (p q r s) duplicates pos 0 → covers idx 5-8
+    assert got.n_removed == 4
+    assert got.text == "p q r s m"

@@ -290,6 +290,22 @@ def test_line_dedup_stays_jvm_side(spark):
     assert _n_exchanges(plan) <= 4
 
 
+def test_substring_dedup_stays_jvm_side(spark):
+    """ExactSubstr dedup is pure JVM: the k-gram strings live only inside
+    one narrow projection (posexplode → concat_ws → xxhash64); what
+    shuffles is 8-byte hashes + (doc, pos). No Python stage may appear,
+    and the exchange count stays structural (first-occurrence agg on _h +
+    cover rollup on doc_id; both join-backs broadcast at this scale)."""
+    plan = _plan(qc.QUERIES["substring_dedup"](spark, SF_DIR))
+    for py in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython",
+               "BatchEvalPython"):
+        assert py not in plan, f"substring_dedup grew a Python stage: {py}"
+    assert _n_exchanges(plan) <= 4
+    # the gram string must be hashed before any exchange: no Exchange may
+    # carry the gram column itself
+    assert "gram" not in plan.split("Exchange")[1][:400]
+
+
 def test_source_mixing_is_scan_level_filter(spark):
     """Stratified sampling must stay a shuffle-free filter (plus its one
     rollup agg): the mixing step cannot cost an exchange per stratum."""
