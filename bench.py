@@ -266,6 +266,7 @@ def main() -> None:
             "pack_sequences_bpe",
             "media_features",
             "media_payload_decode",
+            "media_phash_dedup",
             "extract_spans_wide",
             "ensemble_extract",
             "split_assignment",

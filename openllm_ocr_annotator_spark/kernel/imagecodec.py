@@ -30,14 +30,31 @@ import struct
 # --------------------------------------------------------------------------
 
 
-def encode_bmp(width: int, height: int) -> bytes:
-    """24-bit uncompressed BMP with a deterministic pixel pattern."""
+def pattern_rgb(x: int, y: int) -> tuple[int, int, int]:
+    """Default deterministic test-pixel texture, shared by EVERY encoder
+    so the same geometry yields the same IMAGE regardless of container —
+    the fixture perceptual-hash dedup needs (same picture, different
+    bytes). Odd multipliers mod 256 make the luma non-monotone in both
+    axes (a plain gradient collapses every dHash to all-ones)."""
+    return (
+        (37 * x + 101 * y) % 256,
+        (59 * x + 149 * y + 83) % 256,
+        (97 * x + 13 * y + 29) % 256,
+    )
+
+
+def encode_bmp(width: int, height: int, pixel=pattern_rgb) -> bytes:
+    """24-bit uncompressed BMP. Faithful to the spec: samples stored
+    B,G,R, rows bottom-up — a standard decoder recovers RGB pixel
+    (x, y) = ``pixel(x, y)``, the SAME image ``encode_png(w, h)``
+    produces."""
     row = width * 3
     pad = (4 - row % 4) % 4
     pixels = bytearray()
-    for y in range(height):
+    for y in range(height - 1, -1, -1):  # bottom-up row order per spec
         for x in range(width):
-            pixels += bytes(((x + y) % 256, (2 * x + y) % 256, (x + 2 * y) % 256))
+            r, g, b = pixel(x, y)
+            pixels += bytes((b, g, r))
         pixels += b"\x00" * pad
     data_offset = 14 + 40
     file_size = data_offset + len(pixels)
@@ -66,13 +83,14 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int]:
 # --------------------------------------------------------------------------
 
 
-def encode_ppm(width: int, height: int) -> bytes:
-    """Binary P6 with a deterministic pixel pattern."""
+def encode_ppm(width: int, height: int, pixel=pattern_rgb) -> bytes:
+    """Binary P6 with the shared deterministic pixel texture."""
     header = f"P6\n{width} {height}\n255\n".encode()
-    pixels = bytes(
-        (x + y + c) % 256 for y in range(height) for x in range(width) for c in range(3)
-    )
-    return header + pixels
+    pixels = bytearray()
+    for y in range(height):
+        for x in range(width):
+            pixels += bytes(pixel(x, y))
+    return header + bytes(pixels)
 
 
 def encode_ppm_stream(width: int, height: int, n_frames: int) -> bytes:
@@ -205,10 +223,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def encode_png(width: int, height: int) -> bytes:
-    """Real 8-bit truecolor PNG with a deterministic pixel pattern: IHDR +
-    one zlib-compressed IDAT of filter-0 scanlines + IEND, CRCs included —
-    round-trips through any spec decoder (ours below, PIL where present)."""
+def encode_png(width: int, height: int, pixel=pattern_rgb) -> bytes:
+    """Real 8-bit truecolor PNG with the shared deterministic texture:
+    IHDR + one zlib-compressed IDAT of filter-0 scanlines + IEND, CRCs
+    included — round-trips through any spec decoder (ours below, PIL
+    where present)."""
     import zlib
 
     if width <= 0 or height <= 0:
@@ -227,7 +246,7 @@ def encode_png(width: int, height: int) -> bytes:
     for y in range(height):
         raw.append(0)  # filter type 0 (None) per scanline
         for x in range(width):
-            raw += bytes(((x + y) % 256, (2 * x + y) % 256, (x + 2 * y) % 256))
+            raw += bytes(pixel(x, y))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -291,6 +310,167 @@ def decode_png(payload: bytes) -> tuple[int, int, int]:
     if any(raw[y * (1 + width * bpp)] > 4 for y in range(height)):
         raise ValueError("corrupt PNG: invalid scanline filter type")
     return width, height, n_frames
+
+
+# --------------------------------------------------------------------------
+# pixel decode (first frame, 8-bit integer luma) — feeds perceptual hashing
+# --------------------------------------------------------------------------
+
+
+def _luma(r: int, g: int, b: int) -> int:
+    """ITU-R BT.601 luma, integer arithmetic only (floor-div) so every
+    engine that replays it — the Spark kernel, the pure-Python golden
+    chain — lands on the identical byte."""
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _bmp_gray(payload: bytes) -> tuple[int, int, bytes]:
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    info_size = struct.unpack_from("<I", payload, 14)[0]
+    if info_size < 40:
+        raise ValueError("BMP pixel decode needs BITMAPINFOHEADER (v3+)")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bits = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bits != 24 or compression != 0:
+        raise ValueError(f"BMP pixel decode supports 24-bit BI_RGB only "
+                         f"(got {bits}-bit, compression {compression})")
+    top_down = height < 0
+    w, h = abs(width), abs(height)
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    if len(payload) < data_offset + stride * h:
+        raise ValueError("corrupt BMP: truncated pixel array")
+    out = bytearray(w * h)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = data_offset + src_row * stride
+        for x in range(w):
+            b_, g_, r_ = payload[base + 3 * x: base + 3 * x + 3]
+            out[row * w + x] = _luma(r_, g_, b_)
+    return w, h, bytes(out)
+
+
+def _ppm_gray(payload: bytes) -> tuple[int, int, bytes]:
+    width, height, bands, pos = _ppm_header(payload, 0)
+    if bands not in (1, 3):
+        raise ValueError("PPM pixel decode supports 8-bit samples only")
+    need = width * height * bands
+    if len(payload) < pos + need:
+        raise ValueError("corrupt PPM: truncated pixel data")
+    out = bytearray(width * height)
+    if bands == 1:  # P5 grayscale — samples ARE luma
+        out[:] = payload[pos: pos + need]
+    else:
+        for i in range(width * height):
+            r, g, b = payload[pos + 3 * i: pos + 3 * i + 3]
+            out[i] = _luma(r, g, b)
+    return width, height, bytes(out)
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, ch: int) -> bytearray:
+    """Reverse the five PNG scanline filters (spec §9: None/Sub/Up/
+    Average/Paeth) → raw channel bytes, top-down row-major."""
+    stride = width * ch
+    out = bytearray(stride * height)
+    for y in range(height):
+        ftype = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1: (y + 1) * (1 + stride)])
+        prev = out[(y - 1) * stride: y * stride] if y else bytes(stride)
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"corrupt PNG: invalid scanline filter {ftype}")
+        out[y * stride: (y + 1) * stride] = line
+    return out
+
+
+def _png_gray(payload: bytes) -> tuple[int, int, bytes]:
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    ch = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        if len(data) < length:
+            raise ValueError(f"corrupt PNG: truncated {ctype!r} chunk at {pos}")
+        if ctype == b"IHDR":
+            width, height, depth, color, _c, _f, interlace = struct.unpack_from(
+                ">IIBBBBB", data, 0
+            )
+            if width <= 0 or height <= 0:
+                raise ValueError(f"corrupt PNG header: dimensions {width}x{height}")
+            if depth != 8 or color not in (0, 2, 6) or interlace:
+                raise ValueError(
+                    "PNG pixel decode supports 8-bit gray/RGB/RGBA, "
+                    "non-interlaced only"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("corrupt PNG: missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (1 + width * ch):
+        raise ValueError("corrupt PNG: inflated size does not match geometry")
+    px = _png_unfilter(raw, width, height, ch)
+    out = bytearray(width * height)
+    if ch == 1:
+        out[:] = px
+    else:
+        for i in range(width * height):
+            r, g, b = px[ch * i], px[ch * i + 1], px[ch * i + 2]
+            out[i] = _luma(r, g, b)  # alpha (ch=4) ignored for luma
+    return width, height, bytes(out)
+
+
+def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """First frame of a recognized payload → (width, height, luma bytes,
+    top-down row-major). The pixel-level twin of ``decode_geometry`` —
+    feeds ``kernel/phash.py``. GIF raises (pixels sit behind LZW, which
+    these dependency-free parsers deliberately do not implement); callers
+    route GIF/undecodable rows around perceptual hashing explicitly."""
+    import zlib
+
+    try:
+        if payload[:2] == b"BM":
+            return _bmp_gray(payload)
+        if payload[:2] in (b"P6", b"P5"):
+            return _ppm_gray(payload)
+        if payload[:8] == _PNG_SIG:
+            return _png_gray(payload)
+        if payload[:3] == b"GIF":
+            raise ValueError("GIF pixel decode not supported (LZW)")
+    except (struct.error, IndexError, zlib.error) as e:
+        raise ValueError(f"corrupt {payload[:2]!r} payload: {e}") from e
+    raise ValueError(f"unrecognized image magic {payload[:4]!r}")
 
 
 # --------------------------------------------------------------------------

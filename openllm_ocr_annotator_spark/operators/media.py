@@ -225,3 +225,150 @@ def frame_sample_plan(media_feats: DataFrame, every_n: int = 30) -> DataFrame:
     return media_feats.filter(F.col("n_frames") > 1).select(
         "doc_id", "media_ref", idx.alias("frame_idx")
     )
+
+
+def perceptual_hash(media_rows: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, payload) → 64-bit dHash per image.
+
+    The media-side twin of text fingerprinting: the reference annotator
+    re-encodes every image before shipping it (base64 + resize loop,
+    reference: annotators/base.py:77-163), so a corpus built from its
+    output is full of pixel-identical files whose BYTES differ — exact
+    (digest) dedup cannot see them. dHash (kernel/phash.py) is invariant
+    to the container and stable under mild resampling.
+
+    Strict by contract: a dedup signal silently backed by fake pixels
+    would poison survivorship decisions, so undecodable/NULL payloads
+    raise (callers route non-image rows — GIF video, fetch failures —
+    around this operator explicitly). One narrow Arrow pass; payload
+    bytes never cross a shuffle (the hash output is 8 bytes/row).
+    """
+    from ..kernel import imagecodec as _codec
+    from ..kernel import phash as _ph
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    raise ValueError(f"perceptual hash: NULL payload for {ref!r}")
+                w, h, gray = _codec.decode_gray(bytes(payload))
+                out.append(_ph.to_signed64(_ph.dhash64(w, h, gray)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "phash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    from ._common import spread_partitions
+
+    return spread_partitions(
+        media_rows.select("doc_id", "media_ref", "payload"), "media_ref"
+    ).mapInPandas(kernel, schema="doc_id string, media_ref string, phash long")
+
+
+def phash_dedup(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+    caches: list | None = None,
+) -> DataFrame:
+    """Per-image dedup summary over dHash values: exact perceptual
+    duplicates (identical hash — e.g. cross-container re-encodes) and
+    near duplicates (1 ≤ Hamming ≤ ``max_hamming`` — recompressed or
+    lightly retouched copies).
+
+    Same scale shape as ``simhash_pairs``: (max_hamming+1)-chunk
+    pigeonhole banding (any pair within the budget shares one identical
+    16-bit chunk, so the bucket equi-join has PERFECT recall — no
+    all-pairs join), ``max_bucket_size`` caps viral-image buckets
+    (bucket² rows) with the same documented drop. Exact buckets are one
+    mergeable groupBy(phash) (count + min survive map-side combine).
+
+    Returns (doc_id, media_ref, phash, n_exact, n_near, keep): counts of
+    OTHER images at Hamming 0 / in [1, max_hamming]; ``keep`` marks the
+    lexicographically-first media_ref of each exact bucket (the canonical
+    copy a curation pass retains).
+    """
+    n_chunks = max_hamming + 1
+    if 64 % n_chunks:
+        raise ValueError("max_hamming+1 must divide 64 (chunked banding)")
+    chunk_bits = 64 // n_chunks
+
+    # the hash relation feeds four subtrees (exact buckets, both sides of
+    # the band self-join, the final join-back); without a persist each one
+    # re-runs the upstream decode+hash kernel — every image decoded ~7×.
+    # 17 bytes/row (ids + hash), so this cache is tiny even at 10^12 docs.
+    # Pass ``caches=[]`` to receive it for caller-owned unpersist()
+    # (same contract as dedup.ngram_jaccard_pairs / minhash_lsh_pairs).
+    hashes = hashes.persist()
+    if caches is not None:
+        caches.append(hashes)
+
+    exact = hashes.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("_bucket_n"),
+        F.min("media_ref").alias("_keeper"),
+    )
+
+    chunks = hashes.select(
+        "media_ref",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned("phash", i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("media_ref", "phash", "c.chunk_idx", "c.chunk_val")
+    bucket_sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    chunks = chunks.join(
+        bucket_sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+        ["chunk_idx", "chunk_val"],
+        "left_semi",
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    near_pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .filter((hamming >= 1) & (hamming <= max_hamming))
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+        )
+        .distinct()  # a pair can match in several chunks
+    )
+    near_counts = (
+        near_pairs.select(F.col("ref_a").alias("media_ref"))
+        .unionByName(near_pairs.select(F.col("ref_b").alias("media_ref")))
+        .groupBy("media_ref")
+        .agg(F.count(F.lit(1)).alias("_near_n"))
+    )
+
+    return (
+        hashes.join(exact, "phash")
+        .join(near_counts, "media_ref", "left")
+        .select(
+            "doc_id",
+            "media_ref",
+            "phash",
+            (F.col("_bucket_n") - 1).cast("long").alias("n_exact"),
+            F.coalesce(F.col("_near_n"), F.lit(0)).cast("long").alias("n_near"),
+            (F.col("media_ref") == F.col("_keeper")).alias("keep"),
+        )
+    )

@@ -235,3 +235,85 @@ def synthesize_media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
     return flat.mapInPandas(gen, schema=MEDIA_PAYLOAD_SCHEMA)
+
+
+def perturbed_pixel(width: int, height: int):
+    """Pixel function for a *lightly retouched* re-encode: the shared
+    texture (kernel/imagecodec.pattern_rgb) with the top-left sample
+    block shifted by +128 per channel. The block covers exactly the
+    dHash grid's (0, 0) cell-centre sample, so the perceptual distance
+    of the retouch is tiny (Hamming ≤ ~3) — the planted NEAR-duplicate
+    for phash dedup, analogous to a thumbnail/recompress copy."""
+    from .kernel.imagecodec import pattern_rgb
+
+    bw, bh = max(1, width // 9), max(1, height // 8)
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        r, g, b = pattern_rgb(x, y)
+        if x < bw and y < bh:
+            return ((r + 128) % 256, (g + 128) % 256, (b + 128) % 256)
+        return (r, g, b)
+
+    return px
+
+
+def media_variant_rows(doc_id: int, source: str) -> list[tuple[str, str, str, bytes]]:
+    """IMAGE payload plus planted perceptual-duplicate variants — the
+    corpus shape the reference annotator actually produces (it re-encodes
+    every image: base64 + resize loop, reference annotators/base.py:77-163),
+    where byte-level dedup is blind:
+
+    - base row: ``media_payload_row`` (images only; caller filters
+      doc_id % 3 != 0),
+    - ``doc_id % 7 < 3``: cross-container re-encode of the SAME pixels
+      (PNG base → BMP, BMP base → PNG, PPM base → PNG; all encoders share
+      ``pattern_rgb``, so the images are pixel-identical while the bytes
+      are entirely different) → planted EXACT perceptual dup,
+    - ``doc_id % 11 < 2``: perturbed PNG re-encode (``perturbed_pixel``)
+      → planted NEAR dup (small positive Hamming distance, or 0 when the
+      retouch doesn't flip any grid comparison — the golden replay is the
+      arbiter, not this comment).
+    """
+    from .kernel import imagecodec as C
+
+    if doc_id % 3 == 0:
+        raise ValueError("media variants are defined for image docs only")
+    base_id, ref, kind, payload = media_payload_row(doc_id, source)
+    width = 4 + doc_id % 29
+    height = 3 + doc_id % 17
+    rows = [(base_id, ref, kind, payload)]
+    if doc_id % 7 < 3:
+        if doc_id % 5 < 2:  # PNG base → BMP re-encode
+            ext2, p2 = "bmp", C.encode_bmp(width, height)
+        else:  # BMP/PPM base → PNG re-encode
+            ext2, p2 = "png", C.encode_png(width, height)
+        rows.append((base_id, f"media://{source}/{doc_id}x.{ext2}", kind, p2))
+    if doc_id % 11 < 2:
+        p3 = C.encode_png(width, height, perturbed_pixel(width, height))
+        rows.append((base_id, f"media://{source}/{doc_id}p.png", kind, p3))
+    return rows
+
+
+def synthesize_media_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet (image docs only) → (doc_id, media_ref, kind,
+    payload) with planted cross-container exact dups and retouched near
+    dups (``media_variant_rows``). Narrow mapInPandas, no shuffle; the
+    image-only predicate is JVM-side so it reaches the parquet scan."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                row
+                for d, s in zip(pdf["doc_id"], pdf["source"])
+                for row in media_variant_rows(int(d), str(s))
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "kind", "payload"]
+            )
+
+    flat = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "source")
+    )
+    return flat.mapInPandas(gen, schema=MEDIA_PAYLOAD_SCHEMA)

@@ -500,3 +500,67 @@ print(
     f"golden extra: {len(ppl_rows)} perplexities "
     f"(min {min(vals):.1f} median {statistics.median(vals):.1f} max {max(vals):.1f})"
 )
+
+# ---------------------------------------------------------------------------
+# Perceptual media-dedup golden (media_phash_dedup driver query): replay
+# synth.media_variant_rows (base image payloads + planted cross-container
+# re-encodes + retouched near-dups), decode pixels and dHash each payload
+# with the shared kernels, then compute exact buckets, EXHAUSTIVE all-pairs
+# Hamming near counts (1..3) and canonical-copy survivorship sequentially.
+# The Spark plan's 4-band pigeonhole bucketing has perfect recall for
+# Hamming <= 3, so this exhaustive answer is exactly what the bucketed
+# engine must produce.
+# ---------------------------------------------------------------------------
+import itertools  # noqa: E402
+from collections import Counter  # noqa: E402
+
+from openllm_ocr_annotator_spark.kernel import imagecodec as IC  # noqa: E402
+from openllm_ocr_annotator_spark.kernel import phash as PH  # noqa: E402
+from openllm_ocr_annotator_spark.synth import media_variant_rows  # noqa: E402
+
+ph_rows = []  # (doc_id, media_ref, unsigned hash)
+for d, s in zip(flat_src["doc_id"], flat_src["source"]):
+    d = int(d)
+    if d % 3 == 0:
+        continue  # videos carry no perceptual-hash contract (GIF/LZW)
+    for doc_id, ref, _kind, payload in media_variant_rows(d, str(s)):
+        w, h, gray = IC.decode_gray(payload)
+        ph_rows.append((doc_id, ref, PH.dhash64(w, h, gray)))
+
+ph_buckets = Counter(h for _, _, h in ph_rows)
+ph_keeper: dict[int, str] = {}
+for _, ref, h in ph_rows:
+    ph_keeper[h] = min(ph_keeper.get(h, ref), ref)
+ph_near: Counter = Counter()
+for (ra, ha), (rb, hb) in itertools.combinations(
+    [(r, h) for _, r, h in ph_rows], 2
+):
+    if 1 <= PH.hamming64(ha, hb) <= 3:
+        ph_near[ra] += 1
+        ph_near[rb] += 1
+pq.write_table(
+    pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in ph_rows], pa.string()),
+            "media_ref": pa.array([r[1] for r in ph_rows], pa.string()),
+            "phash": pa.array(
+                [PH.to_signed64(r[2]) for r in ph_rows], pa.int64()
+            ),
+            "n_exact": pa.array(
+                [ph_buckets[r[2]] - 1 for r in ph_rows], pa.int64()
+            ),
+            "n_near": pa.array(
+                [ph_near.get(r[1], 0) for r in ph_rows], pa.int64()
+            ),
+            "keep": pa.array(
+                [ph_keeper[r[2]] == r[1] for r in ph_rows], pa.bool_()
+            ),
+        }
+    ),
+    os.path.join(OUT_DIR, "media_phash_dedup.parquet"),
+)
+print(
+    f"golden extra: {len(ph_rows)} phash rows "
+    f"({sum(1 for r in ph_rows if ph_buckets[r[2]] > 1)} with exact dups, "
+    f"{len(ph_near)} with near dups)"
+)
