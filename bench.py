@@ -253,6 +253,7 @@ def main() -> None:
             "similarity_topk",
             "similarity_lsh_topk",
             "embedding_near_dups",
+            "semantic_dedup",
             "text_quality",
             "quality_classifier",
             "perplexity_filter",

@@ -166,14 +166,26 @@ def lsh_topk(
 def ivf_assignments(
     vectors: DataFrame, centroids: np.ndarray,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    nprobe: int = 1,
+    nprobe: int = 1, with_sim: bool = False,
 ) -> DataFrame:
     """(vec_id, cell) rows: nearest-``nprobe`` coarse cells per vector.
 
     Centroids ship to executors inside the Arrow-batch kernel closure (the
     IVF coarse quantizer is small by design — even 2^18 cells × 64 dims is
     ~128 MB, driver-holdable; it is trained on a sample, never the corpus).
+
+    ``with_sim=True`` (nprobe=1 only) adds ``centroid_sim`` — the cosine
+    to the assigned centroid, the ranking signal SemDeDup survivorship
+    needs. The value is NOT taken from the ``mat @ cnorm.T`` argmax product
+    (BLAS blocks matmul by matrix height, so those floats drift in the last
+    ulp across Arrow batch sizes — measured, not hypothetical); instead the
+    assigned centroid row is gathered and the dot recomputed as a per-row
+    ``(mat * cnorm[cell]).sum(axis=1)``, where each row reduces over its
+    own 64-element buffer — bit-identical at any batch height, which is
+    the property the pure-Python golden replay relies on.
     """
+    if with_sim and nprobe != 1:
+        raise ValueError("with_sim requires nprobe=1 (one assigned cell)")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -181,6 +193,16 @@ def ivf_assignments(
             if not len(pdf):  # np.stack([]) raises on empty Arrow batches
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if with_sim:
+                cells, sims = assign_cells(mat, cnorm, 1, with_sim=True)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col].to_numpy(),
+                        "cell": cells[:, 0].astype(np.int64),
+                        "centroid_sim": sims,
+                    }
+                )
+                continue
             cells = assign_cells(mat, cnorm, nprobe)
             yield pd.DataFrame(
                 {
@@ -189,19 +211,30 @@ def ivf_assignments(
                 }
             )
 
+    schema = "vec_id long, cell long" + (", centroid_sim double" if with_sim else "")
     return spread_partitions(vectors.select(id_col, vec_col), id_col).mapInPandas(
-        kernel, schema="vec_id long, cell long"
+        kernel, schema=schema
     )
 
 
-def assign_cells(mat: np.ndarray, cnorm: np.ndarray, nprobe: int) -> np.ndarray:
+def assign_cells(
+    mat: np.ndarray, cnorm: np.ndarray, nprobe: int, with_sim: bool = False
+):
     """Nearest-``nprobe`` cells per row of ``mat`` (cosine over pre-normalized
     centroids). Shared verbatim by the Spark kernel and the pure-Python
-    golden replay, so the assignment arithmetic has one source of truth."""
+    golden replay, so the assignment arithmetic has one source of truth.
+    ``with_sim=True`` (nprobe=1) also returns the winning cosine per row."""
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     sims = mat @ cnorm.T  # (n, n_cells)
     if nprobe == 1:
-        return sims.argmax(axis=1)[:, None]
+        cells = sims.argmax(axis=1)[:, None]
+        if with_sim:
+            # recompute the winning dot per row (gather + own-buffer sum):
+            # unlike the matmul above, this is bit-identical at any batch
+            # height, so the Spark kernel and the full-matrix golden replay
+            # produce the same float even though Arrow batches differ
+            return cells, (mat * cnorm[cells[:, 0]]).sum(axis=1)
+        return cells
     return np.argsort(-sims, axis=1)[:, :nprobe]
 
 
@@ -319,4 +352,83 @@ def embedding_near_dups(
         .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame, eps: float = 0.95,
+    n_cells: int = 16, iters: int = 2, sample_rows: int = 4096,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_iter: int = 30,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic-level dedup
+    over an embedding column — k-means-partition the embedding space with
+    the sample-trained coarse quantizer, find within-cell pairs with cosine
+    ≥ ``eps``, resolve them to connected components, and keep per component
+    the member FARTHEST from its cell centroid (lowest ``centroid_sim``,
+    ties → min id) — the paper's "keep the least prototypical example"
+    survivorship, which preserves diversity where exact/near dedup keeps
+    arbitrary canonicals.
+
+    Returns a complete keep/drop list:
+    ``(vec_id, cell, centroid_sim, cluster_id, keep)`` — singletons keep
+    themselves; ``centroid_sim`` is rounded to 6 dp for a stable surface.
+
+    Scale shape: the quantizer trains on a BOUNDED driver sample
+    (``ivf_train_centroids`` — the FAISS rule); assignment is one narrow
+    Arrow pass; the pair scan is a cell-key equi-join whose fan-out is
+    Σ|cell|² — ``n_cells`` is the knob that bounds it (the paper uses 50k
+    clusters at LAION scale; at 10^12 docs pick n_cells so E[|cell|] stays
+    ~10^4-10^5). Component resolution reuses ``dedup_clusters``
+    (min-label propagation + pointer jumping, no driver union-find), and
+    survivorship is one mergeable max(struct) groupBy (``survivors``).
+    """
+    from .dedup import dedup_clusters, survivors
+
+    centroids = ivf_train_centroids(
+        vectors, n_cells, iters, id_col, vec_col, sample_rows
+    )
+    assign = ivf_assignments(
+        vectors, centroids, id_col, vec_col, nprobe=1, with_sim=True
+    )
+    # within-cell candidate pairs → exact cosine (JVM left-fold) ≥ eps
+    a = assign.select(F.col("vec_id").alias("id_a"), "cell")
+    b = assign.select(F.col("vec_id").alias("id_b"), "cell")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    va = _as_double(vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "va")
+    vb = _as_double(vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "vb")
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= eps)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    clusters = dedup_clusters(
+        pairs, docs=assign.select(F.col("vec_id").alias("doc_id")), max_iter=max_iter
+    )
+    # SemDeDup survivorship: max(-centroid_sim) = farthest-from-centroid.
+    # centroid_sim is bit-identical between the Spark kernel and the golden
+    # replay (per-row own-buffer sum — see assign_cells), so ties resolve
+    # identically (-doc_id struct field → min id) on both sides.
+    ranked = assign.select(
+        F.col("vec_id").alias("doc_id"), (-F.col("centroid_sim")).alias("neg_sim")
+    )
+    keepers = survivors(clusters, ranked, keep_by="neg_sim").select(
+        F.col("doc_id").alias("vec_id"), F.lit(True).alias("keep")
+    )
+    return (
+        assign.join(clusters.select(F.col("doc_id").alias("vec_id"), "cluster_id"), "vec_id")
+        .join(keepers, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.round("centroid_sim", 6).alias("centroid_sim"),
+            "cluster_id",
+            F.coalesce("keep", F.lit(False)).alias("keep"),
+        )
     )

@@ -564,3 +564,83 @@ print(
     f"({sum(1 for r in ph_rows if ph_buckets[r[2]] > 1)} with exact dups, "
     f"{len(ph_near)} with near dups)"
 )
+
+# ---------------------------------------------------------------------------
+# SemDeDup golden (semantic_dedup driver query): corpus = embeddings
+# vec_id < 500 plus planted scaled copies (×1.001 for vec_id < 50 at
+# +1_000_000, ×1.003 for vec_id < 20 at +2_000_000 — cosine to the original
+# is 1.0 up to rounding, so the size-3 components exercise the transitive
+# closure). Replays the SAME lloyd_centroids/assign_cells numpy functions
+# the operator uses (centroid_sim is a per-row own-buffer sum — bit-equal
+# at any Arrow batch height), pair cosines as the Spark left-fold, then a
+# pure-Python union-find + farthest-from-centroid survivorship.
+# ---------------------------------------------------------------------------
+sem_vecs: dict[int, list[float]] = {v: vecs[v] for v in vecs if v < 500}
+for v in sorted(vecs):
+    if v < 50:
+        sem_vecs[v + 1_000_000] = [x * 1.001 for x in vecs[v]]
+    if v < 20:
+        sem_vecs[v + 2_000_000] = [x * 1.003 for x in vecs[v]]
+sem_ids = sorted(sem_vecs)
+sem_mat = np.stack([np.asarray(sem_vecs[v], dtype=np.float64) for v in sem_ids])
+sem_centroids = lloyd_centroids(sem_mat[:4096], 16, 2)
+sem_cn = sem_centroids / np.linalg.norm(sem_centroids, axis=1, keepdims=True)
+sem_cells_arr, sem_sims_arr = assign_cells(sem_mat, sem_cn, 1, with_sim=True)
+sem_cell = {v: int(c) for v, c in zip(sem_ids, sem_cells_arr[:, 0])}
+sem_sim = {v: float(s) for v, s in zip(sem_ids, sem_sims_arr)}
+
+_parent = {v: v for v in sem_ids}
+
+
+def _find(x: int) -> int:
+    while _parent[x] != x:
+        _parent[x] = _parent[_parent[x]]
+        x = _parent[x]
+    return x
+
+
+sem_norm = {v: _fold_norm(sem_vecs[v]) for v in sem_ids}
+_members: dict[int, list[int]] = {}
+for v in sem_ids:
+    _members.setdefault(sem_cell[v], []).append(v)
+SEM_EPS = 0.9
+n_sem_pairs = 0
+for cell_ids in _members.values():
+    for i in range(len(cell_ids)):
+        for j in range(i + 1, len(cell_ids)):
+            a_, b_ = cell_ids[i], cell_ids[j]
+            cos = _fold_dot(sem_vecs[a_], sem_vecs[b_]) / (sem_norm[a_] * sem_norm[b_])
+            if cos >= SEM_EPS:
+                n_sem_pairs += 1
+                ra, rb = _find(a_), _find(b_)
+                if ra != rb:
+                    _parent[max(ra, rb)] = min(ra, rb)
+
+_comp: dict[int, list[int]] = {}
+for v in sem_ids:
+    _comp.setdefault(_find(v), []).append(v)
+sem_rows = []
+for mem in _comp.values():
+    cluster_id = min(mem)
+    # survivors(keep_by=neg_sim): max(struct(-sim, -id)) = min (sim, id)
+    keeper = min(mem, key=lambda m: (sem_sim[m], m))
+    for m in mem:
+        sem_rows.append((m, sem_cell[m], round(sem_sim[m], 6), cluster_id, m == keeper))
+sem_rows.sort()
+pq.write_table(
+    pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in sem_rows], pa.int64()),
+            "cell": pa.array([r[1] for r in sem_rows], pa.int64()),
+            "centroid_sim": pa.array([r[2] for r in sem_rows], pa.float64()),
+            "cluster_id": pa.array([r[3] for r in sem_rows], pa.int64()),
+            "keep": pa.array([r[4] for r in sem_rows], pa.bool_()),
+        }
+    ),
+    os.path.join(OUT_DIR, "semantic_dedup.parquet"),
+)
+print(
+    f"golden extra: {len(sem_rows)} semantic-dedup rows, "
+    f"{n_sem_pairs} pairs, {sum(1 for r in sem_rows if r[4])} keepers, "
+    f"{len(_comp)} components"
+)

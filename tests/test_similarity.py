@@ -101,3 +101,102 @@ def test_ivf_topk_recall_and_determinism(spark, emb):
     assert sorted((r.query_id, r.rank, r.neighbor_id) for r in approx) == sorted(
         (r.query_id, r.rank, r.neighbor_id) for r in again
     )
+
+
+def test_semantic_dedup_planted_components(spark, emb):
+    """SemDeDup: scaled copies (cosine 1 to the original) resolve into one
+    component each; the member FARTHEST from its cell centroid survives;
+    everything untouched stays a kept singleton."""
+    from pyspark.sql import functions as F
+
+    from openllm_ocr_annotator_spark.operators.similarity import semantic_dedup
+
+    base = emb.filter("vec_id < 100").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    c1 = base.filter("vec_id < 10").select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    c2 = base.filter("vec_id < 4").select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.003).alias("embedding"),
+    )
+    union = base.unionByName(c1).unionByName(c2)
+    out = semantic_dedup(union, eps=0.9, n_cells=4).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == 114
+    # copies cluster with their original under the min-id label
+    for v in range(10):
+        assert by_id[v + 1000].cluster_id == v
+    for v in range(4):
+        assert by_id[v + 2000].cluster_id == v
+    # survivorship ranks on the UNROUNDED centroid_sim (the output column
+    # is 6-dp rounded, so scaled copies can tie there) — replay it exactly
+    import numpy as np
+
+    from openllm_ocr_annotator_spark.operators.similarity import (
+        assign_cells,
+        ivf_train_centroids,
+    )
+
+    centroids = ivf_train_centroids(union, n_cells=4, iters=2)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    rows = sorted(union.collect(), key=lambda r: r.vec_id)
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    _, sims = assign_cells(mat, cn, 1, with_sim=True)
+    sim_of = {r.vec_id: float(s) for r, s in zip(rows, sims)}
+    # exactly one keeper per component: the min-(unrounded sim, id) member
+    for v in range(10):
+        members = [by_id[v], by_id[v + 1000]] + ([by_id[v + 2000]] if v < 4 else [])
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        want = min(members, key=lambda m: (sim_of[m.vec_id], m.vec_id))
+        assert keepers[0].vec_id == want.vec_id
+        assert round(sim_of[keepers[0].vec_id], 6) == keepers[0].centroid_sim
+    # untouched rows are kept singletons
+    for v in range(10, 100):
+        assert by_id[v].keep and by_id[v].cluster_id == v
+
+
+def test_ivf_with_sim_batch_height_invariance(spark, emb):
+    """centroid_sim must be bit-identical regardless of partitioning /
+    Arrow batch height — the property the golden replay relies on."""
+    from openllm_ocr_annotator_spark.operators.similarity import (
+        assign_cells,
+        ivf_assignments,
+        ivf_train_centroids,
+    )
+
+    vecs = emb.filter("vec_id < 200")
+    centroids = ivf_train_centroids(vecs, n_cells=8, iters=2)
+    one = {
+        r.vec_id: (r.cell, r.centroid_sim)
+        for r in ivf_assignments(vecs.coalesce(1), centroids, with_sim=True).collect()
+    }
+    many = {
+        r.vec_id: (r.cell, r.centroid_sim)
+        for r in ivf_assignments(vecs.repartition(13), centroids, with_sim=True).collect()
+    }
+    assert one == many  # exact float equality, not approx
+    # and equal to the pure full-matrix replay (golden path)
+    import numpy as np
+
+    rows = sorted(vecs.collect(), key=lambda r: r.vec_id)
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cells, sims = assign_cells(mat, cn, 1, with_sim=True)
+    for r, c, s in zip(rows, cells[:, 0], sims):
+        assert one[r.vec_id] == (int(c), float(s))
+
+
+def test_ivf_with_sim_rejects_multiprobe(spark, emb):
+    from openllm_ocr_annotator_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_train_centroids,
+    )
+
+    vecs = emb.filter("vec_id < 32")
+    centroids = ivf_train_centroids(vecs, n_cells=4, iters=1)
+    with pytest.raises(ValueError, match="nprobe=1"):
+        ivf_assignments(vecs, centroids, nprobe=2, with_sim=True)
