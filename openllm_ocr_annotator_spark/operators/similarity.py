@@ -359,7 +359,7 @@ def semantic_dedup(
     vectors: DataFrame, eps: float = 0.95,
     n_cells: int = 16, iters: int = 2, sample_rows: int = 4096,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    max_iter: int = 30,
+    max_iter: int = 30, caches: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic-level dedup
     over an embedding column — k-means-partition the embedding space with
@@ -382,6 +382,12 @@ def semantic_dedup(
     ~10^4-10^5). Component resolution reuses ``dedup_clusters``
     (min-label propagation + pointer jumping, no driver union-find), and
     survivorship is one mergeable max(struct) groupBy (``survivors``).
+
+    The assignment relation is cached (consumed by the pair scan twice,
+    the cluster node list, and survivorship — one narrow Arrow pass
+    instead of four); pass ``caches=[]`` to receive it and ``unpersist()``
+    after the result is materialized — the caller-owned-release contract
+    shared with ``minhash_lsh_pairs``/``ngram_jaccard_pairs``.
     """
     from .dedup import dedup_clusters, survivors
 
@@ -390,7 +396,9 @@ def semantic_dedup(
     )
     assign = ivf_assignments(
         vectors, centroids, id_col, vec_col, nprobe=1, with_sim=True
-    )
+    ).cache()
+    if caches is not None:
+        caches.append(assign)
     # within-cell candidate pairs → exact cosine (JVM left-fold) ≥ eps
     a = assign.select(F.col("vec_id").alias("id_a"), "cell")
     b = assign.select(F.col("vec_id").alias("id_b"), "cell")
