@@ -254,6 +254,7 @@ def main() -> None:
             "similarity_lsh_topk",
             "embedding_near_dups",
             "semantic_dedup",
+            "dsir_select",
             "text_quality",
             "quality_classifier",
             "perplexity_filter",

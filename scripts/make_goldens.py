@@ -644,3 +644,52 @@ print(
     f"{n_sem_pairs} pairs, {sum(1 for r in sem_rows if r[4])} keepers, "
     f"{len(_comp)} components"
 )
+
+# ---------------------------------------------------------------------------
+# DSIR golden (dsir_select driver query): target = src0-src4, raw = whole
+# pool, k=100, seed 42. Sequential replay of the SAME kernel/dsir.py
+# functions — integer-count distribution training, per-doc sparse fold,
+# hash-keyed Gumbel noise — so every float is bit-equal to the Spark pass.
+# ---------------------------------------------------------------------------
+from openllm_ocr_annotator_spark.kernel import dsir as DS  # noqa: E402
+
+_dsir_tbl = pq.read_table(
+    f"{SF_DIR}/documents.parquet",
+    columns=["doc_id", "text", "lang", "source", "n_chars"],
+).to_pandas()
+_dsir_rows = sorted(
+    _dsir_tbl.itertuples(index=False), key=lambda r: int(r.doc_id)
+)
+_target_texts = [str(r.text) for r in _dsir_rows
+                 if r.source in {"src0", "src1", "src2", "src3", "src4"}][:500]
+_raw_texts = [str(r.text) for r in _dsir_rows][:500]
+_diff = DS.train_ngram_dist(_target_texts) - DS.train_ngram_dist(_raw_texts)
+_scored = []
+for r in _dsir_rows:
+    lw = DS.log_importance(str(r.text), _diff)
+    key = lw + DS.gumbel_key(str(int(r.doc_id)), 42)
+    _scored.append((key, int(r.doc_id), r.lang, r.source, int(r.n_chars), lw))
+_scored.sort(key=lambda t: (-t[0], t[1]))
+_sel = _scored[:100]
+pq.write_table(
+    pa.table(
+        {
+            "doc_id": pa.array([t[1] for t in _sel], pa.int64()),
+            "lang": pa.array([t[2] for t in _sel], pa.string()),
+            "source": pa.array([t[3] for t in _sel], pa.string()),
+            "n_chars": pa.array([t[4] for t in _sel], pa.int64()),
+            "log_w": pa.array([round(t[5], 6) for t in _sel], pa.float64()),
+            "sel_key": pa.array([round(t[0], 6) for t in _sel], pa.float64()),
+        }
+    ),
+    os.path.join(OUT_DIR, "dsir_select.parquet"),
+)
+_by_src = {}
+for t in _sel:
+    _by_src[t[3]] = _by_src.get(t[3], 0) + 1
+_curated = sum(v for s, v in _by_src.items()
+               if s in {"src0", "src1", "src2", "src3", "src4"})
+print(
+    f"golden extra: 100 dsir-selected of {len(_scored)} docs "
+    f"({_curated} from the 125-doc curated target slice)"
+)
