@@ -551,3 +551,96 @@ def test_media_payload_synthesis_includes_png():
         if kind == "image" and d % 5 < 2:
             assert ext == "png" and payload[:8] == b"\x89PNG\r\n\x1a\n"
     assert exts == {"png", "bmp", "ppm", "gif", "ppms"}
+
+
+def _write_event_file(path, rows, mtime):
+    """One parquet file with a pinned modification time (FileStreamSource
+    processes oldest-first, so mtimes define micro-batch order)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    _pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_streaming_dedup_drops_within_watermark_and_reemits_after(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivery while the key's state is
+    live is DROPPED; once the watermark passes first-seen + delay the state
+    is evicted and a later redelivery is RE-EMITTED — the watermark-bounded
+    state trade-off the module docstring promises."""
+    import datetime as dt
+    import time
+    import uuid
+
+    from openllm_ocr_annotator_spark.streaming.dedup import run_dedup_stream
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    d = tmp_path / "events"
+    d.mkdir()
+    now = time.time()
+    # batch 1: first delivery of key 1
+    _write_event_file(str(d / "f1.parquet"), [(1, at(0), 7, "e", 1.0, "{}")], now - 40)
+    # batch 2: full-row redelivery of key 1 (state live → dropped) + key 2
+    # at 10:30, which advances the watermark to 10:20 > 10:00+10min
+    _write_event_file(
+        str(d / "f2.parquet"),
+        [(1, at(0), 7, "e", 1.0, "{}"), (2, at(30), 8, "e", 2.0, "{}")],
+        now - 30,
+    )
+    # batch 3: state EVICTION runs end-of-batch (measured — a redelivery in
+    # the same batch the watermark passes 10:10 is still dropped), so an
+    # innocuous batch lets the 10:20 watermark evict key 1's entry
+    _write_event_file(str(d / "f3.parquet"), [(3, at(31), 9, "e", 4.0, "{}")], now - 20)
+    # batch 4: key 1 again at 10:25 — state evicted, not late → re-emitted
+    _write_event_file(str(d / "f4.parquet"), [(1, at(25), 7, "e", 3.0, "{}")], now - 10)
+
+    got = run_dedup_stream(
+        spark, str(d), str(tmp_path / "ckpt"), f"sd_{uuid.uuid4().hex[:8]}",
+        watermark="10 minutes", max_files_per_trigger=1,
+    ).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.event_id, []).append(r.ts)
+    assert sorted(by_key[1]) == [at(0), at(25)]  # emitted, dropped, re-emitted
+    assert by_key[2] == [at(30)]
+    assert by_key[3] == [at(31)]
+
+
+def test_streaming_dedup_single_batch_matches_batch_twin(spark, tmp_path):
+    """Full-row redeliveries inside one batch: streamed output ==
+    dropDuplicates batch twin (value-level survivor invariance)."""
+    import uuid
+
+    from openllm_ocr_annotator_spark.streaming.dedup import (
+        dedup_batch_twin,
+        run_dedup_stream,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        "event_id < 200"
+    )
+    redelivered = ev.unionByName(ev.filter("event_id < 50"))
+    redelivered.write.parquet(str(tmp_path / "ev"))
+    got = run_dedup_stream(
+        spark, str(tmp_path / "ev"), str(tmp_path / "ckpt"),
+        f"sd_{uuid.uuid4().hex[:8]}", watermark="1 hour",
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, dedup_batch_twin(ev).collect()))
+    assert a == b and len(a) == 200
