@@ -86,6 +86,61 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# Gopher rule-set stopwords (Rae et al. 2021, Appendix A.1.1 — the fixed
+# 8-word list the "≥ 2 distinct stopwords" gate checks, distinct from the
+# frequency-style STOPWORDS above).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gates(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    max_repetition: float = 0.2,
+) -> dict[str, Column]:
+    """The Gopher quality rule set (Rae et al. 2021, Appendix A.1.1) as
+    named boolean gate columns + the conjunctive ``keep``.
+
+    The subset applicable to a line-less corpus: word count in
+    [min_words, max_words]; mean word length in [3, 10]; hash/ellipsis
+    symbol-to-word ratio ≤ 0.1; ≥ 80% of words contain an alphabetic
+    character; ≥ 2 distinct stopwords from the paper's 8-word list;
+    duplicated-3-gram fraction ≤ ``max_repetition`` (the repetition gate
+    family, collapsed to the engine's ``repetition_score``). Every gate is
+    a JVM array/regexp expression — one codegen'd projection, no Python.
+    """
+    w = F.filter(words(text), lambda x: x != "")
+    n = F.size(w)
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    symbols = F.regexp_count(F.lower(text), F.lit("#|\\.\\.\\.")) + F.regexp_count(
+        text, F.lit("…")
+    )
+    distinct_stop = F.size(
+        F.array_distinct(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    )
+    gates = {
+        "g_word_count": (n >= min_words) & (n <= max_words),
+        "g_mean_word_len": (mean_word_len(text) >= 3.0)
+        & (mean_word_len(text) <= 10.0),
+        "g_symbol_ratio": F.when(
+            n > 0, symbols.cast("double") / n.cast("double") <= max_symbol_ratio
+        ).otherwise(F.lit(False)),
+        "g_alpha_words": F.when(
+            n > 0,
+            alpha_words.cast("double") / n.cast("double") >= min_alpha_word_ratio,
+        ).otherwise(F.lit(False)),
+        "g_stopwords": distinct_stop >= min_distinct_stopwords,
+        "g_repetition": repetition_score(text, 3) <= max_repetition,
+    }
+    keep = F.lit(True)
+    for g in gates.values():
+        keep = keep & g
+    return {**gates, "keep": keep}
+
+
 def vocab_fingerprint(text: Column) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     lowercase vocabulary. Stable under token reordering — pairs with

@@ -342,3 +342,36 @@ def test_ngram_spark_scoring_matches_kernel(spark):
     pdf = docs.orderBy("doc_id").toPandas()
     for d, t in zip(pdf["doc_id"], pdf["text"]):
         assert got[d] == L.ngram_perplexity(str(t), lm), f"doc {d}"
+
+
+def test_gopher_gates_per_rule(spark):
+    """Each Gopher rule (Rae et al. 2021, A.1.1) trips independently on a
+    doc built to violate exactly that rule, and a clean doc passes all."""
+    filler = " ".join(f"word{i}" for i in range(55))
+    docs = {
+        "clean": "the be to of and " + filler,
+        "too_short": "that have cats",
+        "symbols": "the be to of and " + filler + " # # # # # # #",
+        "no_stopwords": " ".join(f"word{i}" for i in range(60)),
+        "repetitive": "the be " + "spam ham " * 30,
+    }
+    df = spark.createDataFrame(list(docs.items()), "name string, text string")
+    gates = TX.gopher_gates(F.col("text"))
+    rows = {
+        r.name: r.asDict()
+        for r in df.select("name", *[c.alias(k) for k, c in gates.items()]).collect()
+    }
+    assert rows["clean"]["keep"] is True
+    assert all(v for k, v in rows["clean"].items() if k.startswith("g_"))
+    expect_broken = {
+        "too_short": "g_word_count",
+        "symbols": "g_symbol_ratio",
+        "no_stopwords": "g_stopwords",
+        "repetitive": "g_repetition",
+    }
+    for name, broken in expect_broken.items():
+        r = rows[name]
+        assert r["keep"] is False, name
+        assert r[broken] is False, (name, broken)
+        others = [k for k in r if k.startswith("g_") and k != broken]
+        assert all(r[k] for k in others), (name, [k for k in others if not r[k]])
