@@ -250,6 +250,9 @@ def main() -> None:
             "line_dedup",
             "substring_dedup",
             "decontaminate",
+            "contamination_score",
+            "dedup_bloom_incremental",
+            "gopher_gates",
             "similarity_topk",
             "similarity_lsh_topk",
             "embedding_near_dups",

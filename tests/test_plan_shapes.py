@@ -336,3 +336,34 @@ def test_quality_classifier_scoring_is_shuffle_free(spark):
     plan = _plan(score_documents(docs, np.zeros(N_FEATURES), 0.0))
     assert _n_exchanges(plan) <= 1
     assert "Join" not in plan
+
+
+def test_gopher_gates_single_projection(spark):
+    """The whole Gopher rule bank is ONE codegen'd projection over the
+    scan — no exchange, no Python, no join."""
+    plan = _plan(qc.QUERIES["gopher_gates"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_contamination_score_shape(spark):
+    """Totals come narrow from the pre-explode array size; the only
+    aggregation input is the semi-join survivors. Pin: semi-join present,
+    bounded exchange count, and the benchmark gram side broadcasts at
+    this scale (distinct eval grams ≪ corpus)."""
+    plan = _plan(qc.QUERIES["contamination_score"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan, "distinct benchmark grams must broadcast"
+    assert _n_exchanges(plan) <= 5
+
+
+def test_bloom_dedup_probe_and_verify_shape(spark):
+    """Probe = broadcast bitmap + Arrow-batched UDF (no join for
+    Bloom-negatives); verify = anti-join over candidates only. The build's
+    driver traffic is bounded by the fan-in merge, not the partition
+    count (asserted in test_bloom.py by running with merge_fanin=2)."""
+    plan = _plan(qc.QUERIES["dedup_bloom_incremental"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+    assert _n_exchanges(plan) <= 3
