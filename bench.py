@@ -269,6 +269,7 @@ def main() -> None:
             "windowed_rollup",
             "pack_sequences",
             "pack_sequences_bpe",
+            "budget_select",
             "media_features",
             "media_payload_decode",
             "media_phash_dedup",

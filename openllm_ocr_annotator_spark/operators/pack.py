@@ -231,3 +231,100 @@ def mixture_rates(
             F.round(F.col("_w") / F.col("_mw"), 6).alias("rate"),
         )
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    budgets: DataFrame,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    method: str = "window",
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Quality-ranked corpus pruning under per-source token budgets (the
+    FineWeb-edu-style selection stage): within each source, rank documents
+    by (score DESC, id ASC) and keep the greedy prefix whose cumulative
+    token count stays ≤ that source's ``token_budget`` (from the
+    ``budgets`` relation: one (source, token_budget) row per source —
+    tiny, always broadcast).
+
+    Returns the SELECTED rows with the input columns. Requires
+    ``score_col`` in [0, 1] (quality/classifier scores are) and
+    non-negative ``token_col``.
+
+    Two physical strategies, IDENTICAL results (pytest pins equality):
+
+    - ``method="window"`` — one running sum over a window partitioned by
+      source. One exchange, but the per-source sort is O(source size):
+      fine up to ~10^9 docs/source, the wrong plan at 10^12.
+    - ``method="threshold"`` — the scale path. (1) histogram tokens into
+      ``n_bins`` score bins per source (map-side combined agg over a
+      (sources × bins)-row relation); (2) on that tiny relation, find each
+      source's cutoff bin: bins strictly better are kept WHOLE (narrow
+      filter, no sort), bins strictly worse dropped; (3) only the ONE
+      boundary bin per source — expected size corpus/n_bins — is ranked
+      with the window to spend the remaining budget. Equivalence holds
+      because bins respect score order and the boundary bin reuses the
+      exact (score DESC, id ASC) rule with remaining = budget − tokens of
+      better bins; a zero-token doc at an exhausted boundary is kept by
+      both (cum ≤ budget ⇔ within-cum ≤ remaining).
+    """
+    out_cols = docs.columns
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    if method == "window":
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            docs.join(F.broadcast(budgets), source_col)
+            .withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
+            .filter(F.col("_cum") <= F.col("token_budget"))
+            .select(*out_cols)
+        )
+    if method != "threshold":
+        raise ValueError(f"method must be 'window' or 'threshold', got {method!r}")
+
+    binned = docs.withColumn(
+        "_bin",
+        F.least(F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1)).cast("int"),
+    )
+    hist = binned.groupBy(source_col, "_bin").agg(
+        F.sum(F.col(token_col).cast("long")).alias("_btok")
+    )
+    wdesc = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("_bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    classes = (
+        hist.join(F.broadcast(budgets), source_col)
+        .withColumn("_cum", F.sum("_btok").over(wdesc))
+        .withColumn("_before", F.col("_cum") - F.col("_btok"))
+        .select(
+            source_col,
+            "_bin",
+            F.when(F.col("_cum") <= F.col("token_budget"), F.lit("full"))
+            .when(F.col("_before") <= F.col("token_budget"), F.lit("partial"))
+            .otherwise(F.lit("drop"))
+            .alias("_class"),
+            (F.col("token_budget") - F.col("_before")).alias("_remaining"),
+        )
+    )
+    tagged = binned.join(F.broadcast(classes), [source_col, "_bin"])
+    full = tagged.filter(F.col("_class") == "full").select(*out_cols)
+    wpart = (
+        Window.partitionBy(source_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = (
+        tagged.filter(F.col("_class") == "partial")
+        .withColumn("_wcum", F.sum(F.col(token_col).cast("long")).over(wpart))
+        .filter(F.col("_wcum") <= F.col("_remaining"))
+        .select(*out_cols)
+    )
+    return full.unionByName(partial)

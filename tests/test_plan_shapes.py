@@ -367,3 +367,13 @@ def test_bloom_dedup_probe_and_verify_shape(spark):
     assert "LeftAnti" in plan
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan
     assert _n_exchanges(plan) <= 3
+
+
+def test_budget_select_threshold_avoids_global_sort(spark):
+    """The scale path's windows run over the tiny histogram relation and
+    the one boundary bin — the cutoff classification joins back by
+    BROADCAST, and the exchange count stays bounded (no full-corpus
+    per-source sort for the whole-bin keeps)."""
+    plan = _plan(qc.QUERIES["budget_select"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "bin classes must broadcast back"
+    assert _n_exchanges(plan) <= 7

@@ -375,3 +375,75 @@ def test_gopher_gates_per_rule(spark):
         assert r[broken] is False, (name, broken)
         others = [k for k in r if k.startswith("g_") and k != broken]
         assert all(r[k] for k in others), (name, [k for k in others if not r[k]])
+
+
+def test_budget_select_greedy_prefix_contract(spark):
+    from openllm_ocr_annotator_spark.operators.pack import budget_select
+
+    docs = spark.createDataFrame(
+        [
+            # source a, budget 100: ranked by (score desc, id asc):
+            # id2(60) cum60 keep, id1(40) cum100 keep (== budget),
+            # id3(0) cum100 keep (zero-token doc at EXHAUSTED budget),
+            # id4(20) cum120 DROP, id5(10) cum130 drop (prefix rule: once
+            # over budget nothing later re-enters)
+            (1, "a", 0.9, 40), (2, "a", 1.0, 60), (3, "a", 0.9, 0),
+            (4, "a", 0.9, 20), (5, "a", 0.5, 10),
+            # source b, budget 1000: everything fits
+            (6, "b", 0.1, 400), (7, "b", 0.2, 500),
+        ],
+        "doc_id long, source string, score double, n_tokens long",
+    )
+    budgets = spark.createDataFrame(
+        [("a", 100), ("b", 1000)], "source string, token_budget long"
+    )
+    for method in ("window", "threshold"):
+        kept = sorted(
+            r.doc_id
+            for r in budget_select(docs, budgets, method=method).collect()
+        )
+        assert kept == [1, 2, 3, 6, 7], method
+    # tie-break inside one score: id ASC wins the remaining budget
+    tie = spark.createDataFrame(
+        [(10, "a", 0.5, 50), (11, "a", 0.5, 50), (12, "a", 0.5, 50)],
+        "doc_id long, source string, score double, n_tokens long",
+    )
+    b2 = spark.createDataFrame([("a", 100)], "source string, token_budget long")
+    for method in ("window", "threshold"):
+        kept = sorted(r.doc_id for r in budget_select(tie, b2, method=method).collect())
+        assert kept == [10, 11], method
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        budget_select(docs, budgets, method="nope")
+
+
+def test_budget_select_methods_agree_on_corpus(spark):
+    """window ≡ threshold on the real corpus with coarse bins (n_bins=4
+    forces nearly every source through the partial-bin path) and with fine
+    bins (boundary bin nearly empty)."""
+    from openllm_ocr_annotator_spark.functions.text import quality_score, token_count_ws
+    from openllm_ocr_annotator_spark.operators.pack import budget_select
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            quality_score(F.col("text")).alias("score"),
+            token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    budgets = docs.groupBy("source").agg(
+        F.floor(F.sum("n_tokens") * 0.4).cast("long").alias("token_budget")
+    )
+    want = sorted(
+        r.doc_id for r in budget_select(docs, budgets, method="window").collect()
+    )
+    assert 0 < len(want) < docs.count()
+    for bins in (4, 1024):
+        got = sorted(
+            r.doc_id
+            for r in budget_select(docs, budgets, method="threshold", n_bins=bins).collect()
+        )
+        assert got == want, f"n_bins={bins}"
