@@ -255,6 +255,7 @@ def main() -> None:
             "gopher_gates",
             "similarity_topk",
             "similarity_lsh_topk",
+            "bm25_search",
             "embedding_near_dups",
             "semantic_dedup",
             "dsir_select",

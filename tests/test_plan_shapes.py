@@ -377,3 +377,15 @@ def test_budget_select_threshold_avoids_global_sort(spark):
     plan = _plan(qc.QUERIES["budget_select"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, "bin classes must broadcast back"
     assert _n_exchanges(plan) <= 7
+
+
+def test_bm25_prunes_postings_before_tf_groupby(spark):
+    """The query-term filter must run on the exploded posting rows BEFORE
+    the (doc, term) tf aggregation — cost scales with the query's posting
+    lists, not vocabulary. df relation and corpus stats broadcast."""
+    plan = _plan(qc.QUERIES["bm25_search"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the array_contains prune sits below the first exchange: the hash
+    # aggregate's child filter mentions the literal query terms
+    assert "array_contains" in plan
+    assert _n_exchanges(plan) <= 6
