@@ -270,6 +270,8 @@ def main() -> None:
             "windowed_rollup",
             "pack_sequences",
             "pack_sequences_bpe",
+            "fixed_windows",
+            "corpus_drift",
             "budget_select",
             "media_features",
             "media_payload_decode",

@@ -111,6 +111,68 @@ def pack_sequences_dense(
     return docs.groupBy(stream_col).applyInPandas(kern, schema=out_schema)
 
 
+def fixed_windows(
+    docs: DataFrame,
+    window: int,
+    token_col: str = "n_tokens",
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style fixed-length window chunking: concatenate each stream's
+    documents in deterministic ``order_col`` order and cut the token stream
+    every ``window`` tokens — documents SPAN window boundaries (the
+    standard pretraining prep where training examples are fixed-length
+    slices of the concatenated corpus, unlike packing where the unit stays
+    the document).
+
+    Output: one row per (document × overlapped window) with ``window_id``
+    (0-based per stream) and ``window_tokens`` = the number of this doc's
+    tokens that land in that window. Invariants: per-doc sum of
+    ``window_tokens`` = its token count; per-window sum = ``window``
+    except the stream's last. Zero-token docs emit no rows.
+
+    Plan: the SAME single window-cumsum exchange as ``pack_sequences``,
+    then a narrow ``explode(sequence(start div W, (end-1) div W))`` — a
+    doc produces ceil(len/W)+1 rows at most, so the explode is bounded by
+    output size, not corpus size. Boundary arithmetic is pure integer
+    (``div``), exact at any corpus length (no double rounding at 10^12+
+    token offsets) and restatable verbatim in a SQL oracle.
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    toks = F.col(token_col).cast("long")
+    out = (
+        docs.withColumn("_end", F.sum(toks).over(w))
+        .withColumn("_start", F.col("_end") - toks)
+        .filter(toks > 0)
+        .withColumn(
+            "window_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_start div {int(window)}"),
+                    F.expr(f"(_end - 1) div {int(window)}"),
+                )
+            ),
+        )
+        .withColumn(
+            "window_tokens",
+            F.least(F.col("_end"), (F.col("window_id") + 1) * F.lit(int(window)))
+            - F.greatest(F.col("_start"), F.col("window_id") * F.lit(int(window))),
+        )
+    )
+    return out.drop("_end", "_start")
+
+
+def window_summary(chunked: DataFrame, stream_col: str = "source") -> DataFrame:
+    """(stream, window_id) → docs contributing + token fill (= window size
+    everywhere except each stream's final window)."""
+    return chunked.groupBy(stream_col, "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("window_tokens").cast("long").alias("window_tokens"),
+    )
+
+
 def pack_summary(packed: DataFrame, stream_col: str = "source",
                  token_col: str = "n_tokens") -> DataFrame:
     """(stream, pack_id) → document count + token fill level."""

@@ -389,3 +389,22 @@ def test_bm25_prunes_postings_before_tf_groupby(spark):
     # aggregate's child filter mentions the literal query terms
     assert "array_contains" in plan
     assert _n_exchanges(plan) <= 6
+
+
+def test_fixed_windows_single_exchange(spark):
+    """Fixed-window chunking = the pack_sequences plan: one hash exchange
+    on the stream key for the window cumsum, then a narrow explode and the
+    summary's partial agg. No second corpus-sized shuffle."""
+    plan = _plan(qc.QUERIES["fixed_windows"](spark, SF_DIR))
+    assert "Generate" in plan, "explode(sequence) must stay in the plan"
+    assert _n_exchanges(plan) <= 2, "window cumsum + summary agg only"
+
+
+def test_corpus_drift_shuffles_vocab_not_corpus(spark):
+    """Drift joins two vocabulary-sized count relations; the scalar totals
+    broadcast. The corpus itself is only scanned + exploded (map-side
+    combined agg), never re-shuffled."""
+    plan = _plan(qc.QUERIES["corpus_drift"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("FullOuter") >= 1 or "full_outer" in plan
+    assert _n_exchanges(plan) <= 5
