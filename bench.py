@@ -252,6 +252,7 @@ def main() -> None:
             "decontaminate",
             "contamination_score",
             "dedup_bloom_incremental",
+            "dedup_lsh_incremental",
             "gopher_gates",
             "similarity_topk",
             "similarity_lsh_topk",

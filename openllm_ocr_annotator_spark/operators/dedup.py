@@ -163,6 +163,29 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sigs: DataFrame, num_bands: int) -> DataFrame:
+    """Narrow pass: (doc_id, signature) → one row per (doc, band) with the
+    band's bucket hash — the LSH posting relation."""
+
+    def band_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sig_mat = np.array(pdf["signature"].tolist(), dtype=np.int64).view(np.uint64)
+            bh = K.band_hashes_batch(sig_mat, num_bands)  # (n_docs, num_bands)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), num_bands),
+                    "band_idx": np.tile(np.arange(num_bands), len(pdf)),
+                    "band_hash": bh.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return sigs.mapInPandas(
+        band_kernel, schema="doc_id long, band_idx int, band_hash long"
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, num_perm: int = 64, num_bands: int = 16,
     threshold: float = 0.7, shingle_n: int = 3,
@@ -184,21 +207,7 @@ def minhash_lsh_pairs(
     if caches is not None:
         caches.append(sigs)
 
-    def band_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            sig_mat = np.array(pdf["signature"].tolist(), dtype=np.int64).view(np.uint64)
-            bh = K.band_hashes_batch(sig_mat, num_bands)  # (n_docs, num_bands)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), num_bands),
-                    "band_idx": np.tile(np.arange(num_bands), len(pdf)),
-                    "band_hash": bh.reshape(-1).astype(np.int64),
-                }
-            )
-
-    bands = sigs.mapInPandas(band_kernel, schema="doc_id long, band_idx int, band_hash long")
+    bands = _band_rows(sigs, num_bands)
 
     # cap pathological buckets (mega-boilerplate clusters) — documented drop
     bucket_sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
@@ -216,6 +225,91 @@ def minhash_lsh_pairs(
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("sig_a")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    history_sigs: DataFrame,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+    seed: int = 42,
+    caches: list | None = None,
+) -> DataFrame:
+    """Near-dup candidates of an INCOMING batch against committed history —
+    the incremental-ingest twin of ``minhash_lsh_pairs`` (the near-dup
+    analog of ``bloom_incremental_dedup``'s exact check): at 100 TB you
+    persist the signature relation (num_perm × 8 B per doc, ~0.1% of the
+    text) at commit time and never re-tokenize history. Only the new
+    batch runs the shingle→MinHash kernel; history enters as its stored
+    ``(doc_id, signature)`` rows.
+
+    Returns (doc_a, doc_b, est_jaccard) pairs where at least one side is
+    new — EXACTLY the full-corpus ``minhash_lsh_pairs`` output minus its
+    history×history pairs, provided the parameters match the ones history
+    was signed with (the bucket cap is applied to the combined banding
+    relation, as one corpus-wide run would). new/history doc ids must be
+    disjoint. Compose with ``dedup_clusters`` + ``survivors`` to resolve
+    keeps; a new doc with any history match is always a drop.
+
+    Pass ``caches=[]`` for caller-owned release of the cached combined
+    signature relation (same contract as ``minhash_lsh_pairs``).
+    """
+    new_sigs = minhash_signatures(new_docs, num_perm, shingle_n, seed=seed)
+    sigs = (
+        new_sigs.select("doc_id", "signature", F.lit(True).alias("_new"))
+        .unionByName(
+            history_sigs.select(
+                "doc_id", "signature", F.lit(False).alias("_new")
+            )
+        )
+        .cache()
+    )
+    if caches is not None:
+        caches.append(sigs)
+
+    bands = _band_rows(sigs.select("doc_id", "signature"), num_bands).join(
+        sigs.select("doc_id", "_new"), "doc_id"
+    )
+    bucket_sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bands = bands.join(
+        bucket_sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a._new") | F.col("b._new")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

@@ -73,6 +73,36 @@ def test_minhash_lsh_finds_dups_not_strangers(spark, corpus):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_lsh_incremental_equals_full_minus_history(spark, corpus):
+    """The incremental pass over (new batch, stored history signatures)
+    must produce EXACTLY the full-corpus pairs that touch the new slice —
+    same params, history never re-tokenized (it enters as signatures)."""
+    from openllm_ocr_annotator_spark.operators.dedup import (
+        minhash_lsh_incremental,
+    )
+
+    new = corpus.filter("doc_id IN (1, 2)")      # a dup of 0 + the near-dup
+    history = corpus.filter("doc_id NOT IN (1, 2)")
+    caches: list = []
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_incremental(
+            new, minhash_signatures(history), threshold=0.5, caches=caches
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    want = {p: v for p, v in full.items() if p[0] in (1, 2) or p[1] in (1, 2)}
+    assert got == want
+    assert (0, 1) in got, "new×history exact dup must surface"
+    assert any(p in got for p in [(1, 2), (0, 2)]), "near dup must surface"
+    assert caches, "caller-owned cache hand-back"
+    for c in caches:
+        c.unpersist()
+
+
 def test_simhash_kernel_properties():
     h_base = K.simhash64(BASE)
     assert K.simhash64(BASE) == h_base  # deterministic
