@@ -265,6 +265,8 @@ def main() -> None:
             "perplexity_filter",
             "mixture_rates",
             "text_token_stats",
+            "skew_report",
+            "cardinality_audit",
             "corpus_curation",
             "training_pipeline",
             "sessionize",

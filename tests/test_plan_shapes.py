@@ -408,3 +408,21 @@ def test_corpus_drift_shuffles_vocab_not_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("FullOuter") >= 1 or "full_outer" in plan
     assert _n_exchanges(plan) <= 5
+
+
+def test_skew_report_top_k_is_take_ordered(spark):
+    """The global top-k must run as TakeOrderedAndProject over the
+    key-cardinality-sized count relation: each partition forwards its own
+    top-k to the single merge point (a global row_number window gets no
+    WindowGroupLimit rewrite - measured, hence this shape)."""
+    plan = _plan(qc.QUERIES["skew_report"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan, "scalar total must broadcast"
+
+
+def test_cardinality_audit_partial_aggregates(spark):
+    """Both the exact distinct and the HLL sketch must partial-aggregate
+    map-side (HashAggregate pairs), never collect raw values."""
+    plan = _plan(qc.QUERIES["cardinality_audit"](spark, SF_DIR))
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert _n_exchanges(plan) <= 3
