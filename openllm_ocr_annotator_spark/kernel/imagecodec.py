@@ -1,4 +1,6 @@
-"""Dependency-free image codecs: BMP / PPM (incl. P6 frame streams) / GIF / PNG.
+"""Dependency-free image codecs: BMP / PPM (incl. P6 frame streams) / GIF /
+PNG, plus baseline JPEG via the sibling ``kernel/jpegcodec.py`` (dispatched
+from ``decode_geometry`` / ``decode_gray`` below).
 
 The container has no PIL/ffmpeg, so the engine's real-decode leg
 (operators/media.py) would otherwise be code that never executes. These are
@@ -466,6 +468,10 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
             return _ppm_gray(payload)
         if payload[:8] == _PNG_SIG:
             return _png_gray(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            from .jpegcodec import decode_jpeg_gray
+
+            return decode_jpeg_gray(payload)
         if payload[:3] == b"GIF":
             raise ValueError("GIF pixel decode not supported (LZW)")
     except (struct.error, IndexError, zlib.error) as e:
@@ -496,6 +502,10 @@ def decode_geometry(payload: bytes) -> tuple[int, int, int]:
             return decode_gif(payload)
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            from .jpegcodec import decode_jpeg
+
+            return decode_jpeg(payload)
     except (struct.error, IndexError, zlib.error) as e:
         raise ValueError(f"corrupt {payload[:2]!r} payload: {e}") from e
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")

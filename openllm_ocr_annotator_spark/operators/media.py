@@ -7,8 +7,9 @@ payloads (or ``media_ref`` pointers) with typed metadata, processed by
 Arrow-batched ``mapInPandas`` kernels.
 
 Decode is LAYERED: when the input carries a ``payload`` binary column,
-``extract_media_features`` decodes for REAL — BMP/PPM/GIF/PNG via the
-dependency-free header parsers in ``kernel/imagecodec.py`` (run
+``extract_media_features`` decodes for REAL — BMP/PPM/GIF/PNG/JPEG via
+the dependency-free parsers in ``kernel/imagecodec.py`` +
+``kernel/jpegcodec.py`` (run
 unconditionally in CI), anything else via PIL when importable. Rows with a
 NULL payload (or, non-strict, undecodable bytes) fall back to a
 clearly-marked deterministic fake derived from ``md5(media_ref)`` — chosen
@@ -88,8 +89,8 @@ def _pil_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
 
 
 def _decode_payload(payload: bytes, kind: str) -> tuple[int, int, int]:
-    """Real decode: dependency-free BMP/PPM/GIF/PNG parse first, PIL for
-    anything else. Raises ValueError when neither can read the bytes."""
+    """Real decode: dependency-free BMP/PPM/GIF/PNG/JPEG parse first, PIL
+    for anything else. Raises ValueError when neither can read the bytes."""
     from ..kernel import imagecodec
 
     try:
@@ -119,7 +120,7 @@ def extract_media_features(media_rows: DataFrame, strict: bool = False) -> DataF
     """(doc_id, media_ref, kind[, payload]) → decoded metadata + feature vector.
 
     When the input carries a ``payload`` binary column, frames decode for
-    real (``_decode_payload``: BMP/PPM/GIF/PNG dependency-free, PIL for other
+    real (``_decode_payload``: BMP/PPM/GIF/PNG/JPEG dependency-free, PIL for other
     formats); rows with a NULL payload — and, non-strict, undecodable bytes
     — use the md5-based fake. ``strict=True`` means NO fabricated geometry,
     the behavior a production deployment wants: it raises at plan-execution

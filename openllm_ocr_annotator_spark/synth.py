@@ -177,11 +177,14 @@ MEDIA_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
-def media_payload_row(doc_id: int, source: str) -> tuple[str, str, str, bytes]:
+def media_payload_row(
+    doc_id: int, source: str, lossless_only: bool = False
+) -> tuple[str, str, str, bytes]:
     """Pure-Python rule for one synthetic media payload: REAL bytes in a
-    real format (BMP / PPM / animated GIF / P6 frame stream — encoders in
-    kernel/imagecodec.py), geometry a pure function of doc_id so the
-    driver's DuckDB oracle can restate it:
+    real format (BMP / PPM / animated GIF / P6 frame stream / PNG /
+    baseline JPEG — encoders in kernel/imagecodec.py + kernel/jpegcodec.py),
+    geometry a pure function of doc_id so the driver's DuckDB oracle can
+    restate it:
 
         width    = 4 + doc_id % 29
         height   = 3 + doc_id % 17
@@ -189,11 +192,17 @@ def media_payload_row(doc_id: int, source: str) -> tuple[str, str, str, bytes]:
         n_frames = 1 + doc_id % 6 for video, 1 for image
 
     Format varies (images: real zlib-compressed PNG when doc_id % 5 < 2,
-    else BMP for even ids / single-frame PPM for odd; videos: GIF when
-    doc_id % 6 == 0, concatenated-P6 stream otherwise) so every parser in
-    kernel/imagecodec.py — including the PNG chunk+inflate path — is
-    exercised by the driver check, while the geometry formula stays
-    uniform across formats.
+    real entropy-coded baseline JPEG when doc_id % 5 == 4, else BMP for
+    even ids / single-frame PPM for odd; videos: GIF when doc_id % 6 == 0,
+    concatenated-P6 stream otherwise) so every parser — including the PNG
+    chunk+inflate path and the JPEG Huffman+IDCT path — is exercised by
+    the driver check, while the geometry formula stays uniform across
+    formats.
+
+    ``lossless_only=True`` keeps the pre-JPEG rotation (doc_id % 5 == 4 →
+    BMP/PPM by parity): the perceptual-dedup variant corpus
+    (``media_variant_rows``) plants cross-container EXACT dups by
+    re-encoding the same pixels, which lossy JPEG cannot provide.
     """
     from .kernel import imagecodec as C
 
@@ -209,6 +218,10 @@ def media_payload_row(doc_id: int, source: str) -> tuple[str, str, str, bytes]:
     else:
         if doc_id % 5 < 2:
             ext, payload = "png", C.encode_png(width, height)
+        elif doc_id % 5 == 4 and not lossless_only:
+            from .kernel.jpegcodec import encode_jpeg
+
+            ext, payload = "jpg", encode_jpeg(width, height)
         elif doc_id % 2 == 0:
             ext, payload = "bmp", C.encode_bmp(width, height)
         else:
@@ -278,7 +291,9 @@ def media_variant_rows(doc_id: int, source: str) -> list[tuple[str, str, str, by
 
     if doc_id % 3 == 0:
         raise ValueError("media variants are defined for image docs only")
-    base_id, ref, kind, payload = media_payload_row(doc_id, source)
+    # lossless_only: exact-dup planting re-encodes the SAME pixels in a
+    # different container — only the bit-exact encoders can do that
+    base_id, ref, kind, payload = media_payload_row(doc_id, source, lossless_only=True)
     width = 4 + doc_id % 29
     height = 3 + doc_id % 17
     rows = [(base_id, ref, kind, payload)]

@@ -1,0 +1,152 @@
+"""Baseline JPEG codec (kernel/jpegcodec.py) — the last image format whose
+decode leg previously existed only behind the PIL import (never runnable in
+this container). Everything here runs unconditionally: encode real
+entropy-coded baseline JPEGs, decode them back, and pin the corrupt-input
+contract (ValueError, never a hang or a wrong answer).
+
+Reference analog: /root/reference/src/openllm_ocr_annotator/annotators/
+base.py:77-163 (the annotators re-encode real PNG/JPEG payloads).
+"""
+
+import numpy as np
+import pytest
+
+from openllm_ocr_annotator_spark.kernel import jpegcodec as J
+from openllm_ocr_annotator_spark.kernel.imagecodec import (
+    _luma,
+    decode_geometry,
+    decode_gray,
+    pattern_rgb,
+)
+
+
+@pytest.mark.parametrize(
+    "w,h", [(8, 8), (16, 8), (12, 7), (33, 19), (4, 3), (1, 1), (31, 17)]
+)
+def test_roundtrip_geometry(w, h):
+    payload = J.encode_jpeg(w, h)
+    assert J.decode_jpeg(payload) == (w, h, 1)
+    w2, h2, gray = J.decode_jpeg_gray(payload)
+    assert (w2, h2) == (w, h)
+    assert len(gray) == w * h
+
+
+def test_dispatch_from_imagecodec():
+    payload = J.encode_jpeg(20, 12)
+    assert decode_geometry(payload) == (20, 12, 1)
+    w, h, gray = decode_gray(payload)
+    assert (w, h) == (20, 12) and len(gray) == 240
+
+
+def test_smooth_image_near_lossless():
+    # q50 quantization error on smooth content stays tiny — a decoder bug
+    # (wrong zigzag, wrong dequantize, wrong IDCT basis) blows way past 3
+    w, h = 32, 24
+    px = lambda x, y: (min(255, 100 + 2 * x), min(255, 100 + 3 * y), 120)
+    _, _, gray = J.decode_jpeg_gray(J.encode_jpeg(w, h, pixel=px))
+    ref = np.array([[_luma(*px(x, y)) for x in range(w)] for y in range(h)], float)
+    got = np.frombuffer(gray, np.uint8).reshape(h, w).astype(float)
+    assert np.abs(ref - got).max() <= 3.0
+
+
+def test_textured_image_bounded_loss():
+    # the shared deterministic texture is deliberately high-frequency;
+    # q50 loses detail but the decoded luma must stay correlated with the
+    # source (mean abs error well under the 128 a garbage decode gives)
+    w, h = 33, 19
+    _, _, gray = J.decode_jpeg_gray(J.encode_jpeg(w, h))
+    ref = np.array(
+        [[_luma(*pattern_rgb(x, y)) for x in range(w)] for y in range(h)], float
+    )
+    got = np.frombuffer(gray, np.uint8).reshape(h, w).astype(float)
+    mae = np.abs(ref - got).mean()
+    assert mae < 25.0, mae
+
+
+def test_deterministic():
+    assert J.encode_jpeg(20, 10) == J.encode_jpeg(20, 10)
+    p = J.encode_jpeg(20, 10)
+    assert J.decode_jpeg_gray(p) == J.decode_jpeg_gray(p)
+
+
+def test_restart_interval_roundtrip():
+    # restart markers exercise the byte-align + RSTn + DC-predictor-reset
+    # path; decoded pixels must be IDENTICAL to the no-restart encode
+    w, h = 33, 19
+    plain = J.decode_jpeg_gray(J.encode_jpeg(w, h))
+    for ri in (1, 2, 5):
+        with_rst = J.encode_jpeg(w, h, restart_interval=ri)
+        assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+        assert J.decode_jpeg(with_rst) == (w, h, 1)
+        assert J.decode_jpeg_gray(with_rst) == plain
+
+
+@pytest.mark.parametrize(
+    "mutate,msg_frag",
+    [
+        (lambda p: p[:40], "truncated"),
+        (lambda p: p[:-2], "missing EOI"),
+        (lambda p: b"\xff\xd8\xff\xe0\x00\x02" + b"\xff\xd9", "EOI before SOS"),
+        (lambda p: p.replace(b"\xff\xc0", b"\xff\xc2", 1), "unsupported"),
+        (lambda p: b"\xff\xd8\xff", "marker"),
+        (lambda p: p[: len(p) // 2] + b"\xff\xc8" + p[len(p) // 2 :], "corrupt"),
+    ],
+)
+def test_corrupt_inputs_raise_valueerror(mutate, msg_frag):
+    payload = mutate(J.encode_jpeg(16, 16))
+    with pytest.raises(ValueError, match=msg_frag):
+        J.decode_jpeg(payload)
+
+
+def test_corrupt_entropy_data_raises_not_garbage():
+    # flip bytes inside the scan: the Huffman stream either still decodes
+    # (valid prefix codes) or raises ValueError — it must never hang
+    payload = bytearray(J.encode_jpeg(24, 16))
+    sos = bytes(payload).index(b"\xff\xda")
+    for off in (20, 40, 60):
+        mutated = bytearray(payload)
+        pos = sos + 14 + off
+        mutated[pos] = 0x00 if mutated[pos] == 0xFF else 0xFF
+        try:
+            w, h, gray = J.decode_jpeg_gray(bytes(mutated))
+            assert (w, h) == (24, 16) and len(gray) == 24 * 16
+        except ValueError:
+            pass
+
+
+def test_truncated_entropy_raises():
+    payload = J.encode_jpeg(24, 16)
+    sos = payload.index(b"\xff\xda")
+    with pytest.raises(ValueError):
+        J.decode_jpeg_gray(payload[: sos + 30])
+
+
+def test_unrecognized_and_grayscale_contract():
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\x00\x01\x02\x03")
+    # 12-bit precision is refused explicitly, not mis-decoded
+    p = bytearray(J.encode_jpeg(8, 8))
+    sof = bytes(p).index(b"\xff\xc0")
+    p[sof + 4] = 12  # precision byte
+    with pytest.raises(ValueError, match="precision"):
+        J.decode_jpeg(bytes(p))
+
+
+def test_synth_rotation_includes_jpeg():
+    from openllm_ocr_annotator_spark.synth import media_payload_row
+
+    # image ids with doc_id % 5 == 4 now carry real JPEG bytes
+    seen_jpg = 0
+    for d in range(1, 120):
+        if d % 3 == 0:
+            continue
+        _id, ref, kind, payload = media_payload_row(d, "src0")
+        if d % 5 == 4:
+            assert ref.endswith(".jpg") and payload[:3] == b"\xff\xd8\xff"
+            assert decode_geometry(payload) == (4 + d % 29, 3 + d % 17, 1)
+            seen_jpg += 1
+        # the perceptual-dedup corpus stays lossless-only (exact-dup
+        # planting needs bit-exact pixels)
+        _id2, ref2, _k2, p2 = media_payload_row(d, "src0", lossless_only=True)
+        assert not ref2.endswith(".jpg")
+    assert seen_jpg > 10

@@ -550,7 +550,7 @@ def test_media_payload_synthesis_includes_png():
         assert C.decode_geometry(payload) == (4 + d % 29, 3 + d % 17, want_frames)
         if kind == "image" and d % 5 < 2:
             assert ext == "png" and payload[:8] == b"\x89PNG\r\n\x1a\n"
-    assert exts == {"png", "bmp", "ppm", "gif", "ppms"}
+    assert exts == {"png", "jpg", "bmp", "ppm", "gif", "ppms"}
 
 
 def _write_event_file(path, rows, mtime):
