@@ -253,8 +253,25 @@ def _zz_bytes(qtab: np.ndarray) -> bytes:
     return bytes(int(v) for v in qtab.flatten()[_ZIGZAG])
 
 
-def encode_jpeg(width: int, height: int, pixel=None, restart_interval: int = 0) -> bytes:
-    """Baseline JFIF, 3-component 4:4:4, Annex K tables. ``pixel`` defaults
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of an Annex K table (the public libjpeg rule:
+    scale = 5000/Q below 50, 200-2Q at or above; entries clamped to
+    1..255). quality=50 returns the table as published."""
+    if not (1 <= quality <= 100):
+        raise ValueError("JPEG quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50.0) / 100.0), 1, 255)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixel=None,
+    restart_interval: int = 0,
+    quality: int = 50,
+) -> bytes:
+    """Baseline JFIF, 3-component 4:4:4, Annex K tables scaled by the IJG
+    ``quality`` rule (50 = the tables as published). ``pixel`` defaults
     to the shared deterministic texture every encoder in this package uses
     (imagecodec.pattern_rgb) so the same geometry draws the same IMAGE —
     though unlike the lossless encoders, the decoded pixels are the DCT
@@ -263,6 +280,8 @@ def encode_jpeg(width: int, height: int, pixel=None, restart_interval: int = 0) 
         from .imagecodec import pattern_rgb as pixel  # no import cycle: lazy
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("JPEG dimensions must be in 1..65535")
+    q_luma = _scaled_quant(_Q_LUMA, quality)
+    q_chroma = _scaled_quant(_Q_CHROMA, quality)
 
     rgb = np.array(
         [[pixel(x, y) for x in range(width)] for y in range(height)],
@@ -283,7 +302,7 @@ def encode_jpeg(width: int, height: int, pixel=None, restart_interval: int = 0) 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65 + 65)
-    out += b"\x00" + _zz_bytes(_Q_LUMA) + b"\x01" + _zz_bytes(_Q_CHROMA)
+    out += b"\x00" + _zz_bytes(q_luma) + b"\x01" + _zz_bytes(q_chroma)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
     out += bytes((1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
     for tclass_id, bits, vals in (
@@ -301,7 +320,7 @@ def encode_jpeg(width: int, height: int, pixel=None, restart_interval: int = 0) 
 
     bw = _BitWriter()
     preds = [0, 0, 0]
-    qtabs = (_Q_LUMA, _Q_CHROMA, _Q_CHROMA)
+    qtabs = (q_luma, q_chroma, q_chroma)
     tsel = (0, 1, 1)
     blocks_x, blocks_y = pw // 8, ph // 8
     rst = 0

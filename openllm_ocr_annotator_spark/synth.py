@@ -285,7 +285,13 @@ def media_variant_rows(doc_id: int, source: str) -> list[tuple[str, str, str, by
     - ``doc_id % 11 < 2``: perturbed PNG re-encode (``perturbed_pixel``)
       → planted NEAR dup (small positive Hamming distance, or 0 when the
       retouch doesn't flip any grid comparison — the golden replay is the
-      arbiter, not this comment).
+      arbiter, not this comment),
+    - ``doc_id % 13 < 2``: quality-90 baseline-JPEG recompress of the SAME
+      image (kernel/jpegcodec.py) — the classic recompression copy a byte
+      digest can never catch; at these geometries the DCT round-trip
+      keeps dHash within Hamming 3 (measured over every geometry in the
+      rotation: max 3, most exactly 0), so it lands as an exact-or-near
+      perceptual dup. The golden replay arbitrates each row.
     """
     from .kernel import imagecodec as C
 
@@ -306,6 +312,11 @@ def media_variant_rows(doc_id: int, source: str) -> list[tuple[str, str, str, by
     if doc_id % 11 < 2:
         p3 = C.encode_png(width, height, perturbed_pixel(width, height))
         rows.append((base_id, f"media://{source}/{doc_id}p.png", kind, p3))
+    if doc_id % 13 < 2:
+        from .kernel.jpegcodec import encode_jpeg
+
+        p4 = encode_jpeg(width, height, quality=90)
+        rows.append((base_id, f"media://{source}/{doc_id}j.jpg", kind, p4))
     return rows
 
 

@@ -132,6 +132,48 @@ def test_unrecognized_and_grayscale_contract():
         J.decode_jpeg(bytes(p))
 
 
+def test_quality_knob():
+    # IJG scaling: 50 = Annex K tables as published; higher quality →
+    # finer quantization → decoded luma closer to the source
+    w, h = 24, 16
+    ref = np.array(
+        [[_luma(*pattern_rgb(x, y)) for x in range(w)] for y in range(h)], float
+    )
+
+    def mae(q):
+        _, _, gray = J.decode_jpeg_gray(J.encode_jpeg(w, h, quality=q))
+        got = np.frombuffer(gray, np.uint8).reshape(h, w).astype(float)
+        return np.abs(ref - got).mean()
+
+    m25, m50, m90 = mae(25), mae(50), mae(90)
+    assert m90 < m50 < m25
+    assert m90 < 5.0
+    for bad in (0, 101, -5):
+        with pytest.raises(ValueError, match="quality"):
+            J.encode_jpeg(8, 8, quality=bad)
+
+
+def test_jpeg_recompress_variant_is_perceptual_dup():
+    # the planted quality-90 recompression leg must stay within the
+    # phash_dedup near threshold (Hamming <= 3) for every geometry in
+    # the rotation — the property the variant corpus relies on
+    from openllm_ocr_annotator_spark.kernel.phash import dhash64, hamming64
+    from openllm_ocr_annotator_spark.synth import media_variant_rows
+
+    checked = 0
+    for d in range(1, 140):
+        if d % 3 == 0 or d % 13 >= 2:
+            continue
+        rows = media_variant_rows(d, "src0")
+        jpgs = [r for r in rows if r[1].endswith("j.jpg")]
+        assert len(jpgs) == 1
+        base_hash = dhash64(*decode_gray(rows[0][3]))
+        jpg_hash = dhash64(*decode_gray(jpgs[0][3]))
+        assert hamming64(base_hash, jpg_hash) <= 3
+        checked += 1
+    assert checked > 10
+
+
 def test_synth_rotation_includes_jpeg():
     from openllm_ocr_annotator_spark.synth import media_payload_row
 
