@@ -242,6 +242,7 @@ def main() -> None:
             "eval_field_accuracy",
             "sampling_stats",
             "dedup_exact",
+            "url_dedup",
             "dedup_minhash_lsh",
             "dedup_ngram_jaccard",
             "dedup_simhash",

@@ -957,3 +957,37 @@ def bloom_incremental_dedup(
         .drop("_digest")
     )
     return definitely_new.unionByName(verified_new)
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup over the canonicalized URL — the first (and
+    cheapest) dedup stage of a web-corpus pipeline (RefinedWeb §3.2 runs
+    it before any content dedup; the reference pipeline's incremental
+    scan dedups on file path the same way, core/annotation_manager.py's
+    cached-result skip).
+
+    ``functions/urls.canonical_url`` collapses scheme / www / default
+    port / tracking-param / fragment / trailing-slash dressings entirely
+    in JVM expressions, then ONE hash exchange on the canonical key
+    (the window partition) counts each group and marks the survivor —
+    deterministically the smallest ``id_col``, the same pinned tie-break
+    every other dedup stage in this package uses.
+
+    Scale: the single shuffle is on the dedup key itself — the minimum
+    any exact dedup can do; group sizes are crawl-frequency distributed
+    (heavy head), which AQE skew handling absorbs because the window
+    aggregates are tiny fixed-width values, not carried payloads.
+
+    Returns (id_col, url, canonical_url, group_size, keep).
+    """
+    from ..functions.urls import canonical_url
+
+    w = Window.partitionBy("canonical_url")
+    return (
+        docs.select(id_col, url_col)
+        .withColumn("canonical_url", canonical_url(F.col(url_col)))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from openllm_ocr_annotator_spark.kernel import dedup as K
 from openllm_ocr_annotator_spark.operators.dedup import (
@@ -472,3 +473,78 @@ def test_substring_dedup_within_doc_repeat(spark):
     # pos 5 gram (p q r s) duplicates pos 0 → covers idx 5-8
     assert got.n_removed == 4
     assert got.text == "p q r s m"
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup (RefinedWeb first-stage) — functions/urls.canonical_url
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_collapses_dressings(spark):
+    from openllm_ocr_annotator_spark.functions.urls import canonical_url
+
+    dressings = [
+        "https://site1.example.com/docs/9",
+        "http://www.site1.example.com/docs/9/",
+        "https://site1.example.com:443/docs/9?utm_source=rss&utm_medium=feed",
+        "https://SITE1.EXAMPLE.COM/docs/9#section-2",
+        "HTTPS://site1.example.com:443/docs/9",
+        "https://site1.example.com/docs/9?gclid=zzz",
+    ]
+    df = spark.createDataFrame([(u,) for u in dressings], "url string")
+    got = {r[0] for r in df.select(canonical_url(F.col("url"))).collect()}
+    assert got == {"https://site1.example.com/docs/9"}
+
+
+def test_canonical_url_preserves_real_params_and_path_case(spark):
+    from openllm_ocr_annotator_spark.functions.urls import canonical_url
+
+    cases = {
+        # a real id param survives; tracking params around it are stripped
+        "https://www.a.com/p?id=7&utm_campaign=x&fbclid=abc": "https://a.com/p?id=7",
+        "https://a.com/p?utm_source=rss&id=7": "https://a.com/p?id=7",
+        "https://a.com/p?utm_source=rss": "https://a.com/p",
+        # path case is identity; host case is not
+        "https://A.com/CaseSensitive/Path": "https://a.com/CaseSensitive/Path",
+        # :80 only strips with the http->https normalization applied first
+        "http://a.com:80/x": "https://a.com/x",
+        # bare host, trailing slash, fragment
+        "https://a.com/": "https://a.com",
+        "https://a.com#frag": "https://a.com",
+        # non-default port is identity (it names a different origin)
+        "https://a.com:8443/x": "https://a.com:8443/x",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == list(cases.values())
+
+
+def test_url_dedup_group_and_survivor(spark):
+    from openllm_ocr_annotator_spark.operators.dedup import url_dedup
+
+    rows = [
+        (1, "https://x.com/a"),
+        (2, "http://www.x.com/a/"),
+        (3, "https://x.com/a?utm_source=s"),
+        (4, "https://x.com/b"),
+    ]
+    out = url_dedup(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].group_size == 3 and by_id[1].keep
+    assert by_id[2].group_size == 3 and not by_id[2].keep
+    assert by_id[3].canonical_url == "https://x.com/a"
+    assert by_id[4].group_size == 1 and by_id[4].keep
+
+
+def test_url_dedup_single_exchange_plan(spark):
+    # scale shape: ONE hash exchange, on the dedup key itself
+    from openllm_ocr_annotator_spark.operators.dedup import url_dedup
+
+    df = url_dedup(
+        spark.createDataFrame([(1, "https://x.com/a")], "doc_id long, url string")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(canonical_url") == 1
+    assert "Exchange rangepartitioning" not in plan
