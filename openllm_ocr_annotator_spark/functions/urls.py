@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_TRACKING = r"(utm_[a-z]+|fbclid|gclid)"
+_TRACKING = r"(?:utm_[a-z]+|fbclid|gclid)"
 
 
 def canonical_url(url: Column) -> Column:
@@ -53,10 +53,12 @@ def canonical_url(url: Column) -> Column:
     # 5. default ports (host:443/path, host:80?q, host:443 at end)
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):(443|80)([/?#])", r"$1$3")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):(443|80)$", r"$1")
-    # 6. tracking params: mid-query (param followed by &) then trailing
-    #    (separator + param at end); a leading "?&" left by the first
-    #    rule cannot occur because the separator is kept, not the param's
-    u = F.regexp_replace(u, _TRACKING + r"=[^&#]*&", "")
+    # 6. tracking params, anchored on the [?&] separator so a parameter
+    #    merely ENDING in a tracking name (e.g. ``xutm_source``) is never
+    #    clipped: first consume runs of tracking params that are followed
+    #    by another param (keeping the leading separator), then strip a
+    #    trailing tracking param together with its separator
+    u = F.regexp_replace(u, r"([?&])(?:" + _TRACKING + r"=[^&#]*&)+", r"$1")
     u = F.regexp_replace(u, r"[?&]" + _TRACKING + r"=[^&#]*$", "")
     # 7. one trailing slash at path end (before query or end-of-string)
     u = F.regexp_replace(u, r"/([?#]|$)", r"$1")

@@ -513,6 +513,11 @@ def test_canonical_url_preserves_real_params_and_path_case(spark):
         "https://a.com#frag": "https://a.com",
         # non-default port is identity (it names a different origin)
         "https://a.com:8443/x": "https://a.com:8443/x",
+        # a param merely ENDING in a tracking name is NOT a tracking param
+        "https://a.com/p?xutm_source=1&id=2": "https://a.com/p?xutm_source=1&id=2",
+        # runs of tracking params collapse in one pass, middle and edges
+        "https://a.com/p?utm_a=1&utm_b=2&id=3&utm_c=4": "https://a.com/p?id=3",
+        "https://a.com/p?utm_a=1&utm_b=2&utm_c=3": "https://a.com/p",
     }
     df = spark.createDataFrame([(k,) for k in cases], "url string")
     got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
