@@ -243,6 +243,7 @@ def main() -> None:
             "sampling_stats",
             "dedup_exact",
             "url_dedup",
+            "domain_blocklist",
             "dedup_minhash_lsh",
             "dedup_ngram_jaccard",
             "dedup_simhash",

@@ -63,3 +63,34 @@ def canonical_url(url: Column) -> Column:
     # 7. one trailing slash at path end (before query or end-of-string)
     u = F.regexp_replace(u, r"/([?#]|$)", r"$1")
     return u
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased authority host of a URL (port stripped — the port is
+    not part of the host for blocklist purposes)."""
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def host_suffixes(host: Column) -> Column:
+    """All domain suffixes of a host with >= 2 labels, longest first —
+    ``a.b.example.com`` → [a.b.example.com, b.example.com, example.com].
+    The standard blocklist semantics (C4 / RefinedWeb badlists): an entry
+    blocks the domain AND every subdomain, so membership of ANY suffix
+    decides. Single-label hosts yield just themselves.
+
+    Emitting suffixes (a host has at most a handful of labels) turns
+    suffix matching into set membership — either a pure `exists`/`isin`
+    expression when the blocklist is broadcastable as literals, or an
+    equi-join key when it is a table. No prefix-LIKE scans anywhere."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+        ),
+    ).otherwise(F.array(host))

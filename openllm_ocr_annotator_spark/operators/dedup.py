@@ -991,3 +991,49 @@ def url_dedup(
         .withColumn("group_size", F.count(F.lit(1)).over(w))
         .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
     )
+
+
+def domain_blocklist_filter(
+    docs: DataFrame,
+    blocklist: list[str] | DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-blocklist filtering (the C4 / RefinedWeb badlist stage):
+    mark every document whose URL host is a blocklisted domain OR any
+    subdomain of one.
+
+    Suffix semantics without suffix scans: ``functions/urls.host_suffixes``
+    expands the host into its >= 2-label suffixes (a bounded handful per
+    row), so matching is set membership —
+
+    - ``blocklist`` as a Python list (the common case: badlists are small
+      enough to inline) compiles to a pure ``exists``/``isin`` expression:
+      ZERO joins, ZERO shuffles, rides whole-stage codegen;
+    - ``blocklist`` as a DataFrame (one ``domain`` column, for lists too
+      large to inline) becomes an exploded equi-join against the
+      broadcast list, then a flag re-join on ``id_col`` — still no
+      prefix-LIKE scan and nothing non-broadcast shuffles but the
+      (small) matched subset.
+
+    Returns ``docs`` + (host, blocked). Callers filter on ``~blocked``.
+    """
+    from ..functions.urls import host_of, host_suffixes
+
+    with_host = docs.withColumn("host", host_of(F.col(url_col)))
+    suffixes = host_suffixes(F.col("host"))
+    if isinstance(blocklist, list):
+        bl = [b.lower() for b in blocklist]
+        return with_host.withColumn(
+            "blocked", F.exists(suffixes, lambda s: s.isin(bl))
+        )
+    matched = (
+        with_host.select(id_col, F.explode(suffixes).alias("domain"))
+        .join(F.broadcast(blocklist.select(F.lower("domain").alias("domain"))), "domain")
+        .select(id_col)
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return with_host.join(matched, id_col, "left").withColumn(
+        "blocked", F.coalesce(F.col("blocked"), F.lit(False))
+    )

@@ -553,3 +553,57 @@ def test_url_dedup_single_exchange_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(canonical_url") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    from openllm_ocr_annotator_spark.operators.dedup import domain_blocklist_filter
+
+    rows = [
+        (1, "https://bad.example.com/x"),        # exact entry
+        (2, "https://a.b.bad.example.com/y"),    # deep subdomain
+        (3, "http://WWW.BAD.EXAMPLE.COM:80/z"),  # case + port + www
+        (4, "https://notbad.example.com/x"),     # suffix of the NAME, not the domain
+        (5, "https://good.example.com/x"),
+        (6, "https://bad.example.com.evil.org/x"),  # entry as a LEFT part only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r.doc_id: (r.host, r.blocked)
+        for r in domain_blocklist_filter(df, ["bad.example.com"]).collect()
+    }
+    assert out[1] == ("bad.example.com", True)
+    assert out[2] == ("a.b.bad.example.com", True)
+    assert out[3] == ("www.bad.example.com", True)
+    assert out[4] == ("notbad.example.com", False)
+    assert out[5] == ("good.example.com", False)
+    assert out[6] == ("bad.example.com.evil.org", False)
+
+
+def test_domain_blocklist_dataframe_path_matches_list_path(spark):
+    from openllm_ocr_annotator_spark.operators.dedup import domain_blocklist_filter
+
+    rows = [(i, f"https://site{i % 5}.example.com/p") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = ["site2.example.com", "site4.example.com"]
+    via_list = {
+        (r.doc_id, r.blocked)
+        for r in domain_blocklist_filter(df, bl).collect()
+    }
+    bl_df = spark.createDataFrame([(b,) for b in bl], "domain string")
+    via_join = {
+        (r.doc_id, r.blocked)
+        for r in domain_blocklist_filter(df, bl_df).collect()
+    }
+    assert via_list == via_join
+    assert sum(1 for _, b in via_list if b) == 8
+
+
+def test_domain_blocklist_list_path_is_join_free(spark):
+    from openllm_ocr_annotator_spark.operators.dedup import domain_blocklist_filter
+
+    df = spark.createDataFrame([(1, "https://a.b.c/x")], "doc_id long, url string")
+    plan = (
+        domain_blocklist_filter(df, ["b.c"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
