@@ -50,6 +50,14 @@ def pack_sequences(
     dense (a doc spanning k budget boundaries advances the id by k; its
     excess eats the next pack's budget — see the module docstring for the
     boundary-vs-greedy-reset contract).
+
+    Scale: parallelism equals the number of streams by definition (one
+    ordered window per stream). At 10^12 docs, derive a finer stream
+    column first — ``withColumn("stream", concat(source, lit("#"),
+    (doc_id % k).cast("string")))`` and pass ``stream_col="stream"`` —
+    which bounds every window partition to corpus/k·|sources| rows while
+    keeping each pack's contents deterministic (pinned by test_text_
+    functions.py::test_pack_sequences_composite_stream_key_scale_path).
     """
     w = Window.partitionBy(stream_col).orderBy(order_col)
     cum = F.sum(F.col(token_col)).over(w)

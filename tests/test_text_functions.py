@@ -500,3 +500,38 @@ def test_budget_select_methods_agree_on_corpus(spark):
             for r in budget_select(docs, budgets, method="threshold", n_bins=bins).collect()
         )
         assert got == want, f"n_bins={bins}"
+
+
+def test_pack_sequences_composite_stream_key_scale_path(spark):
+    """The 10^12-doc scale path: a derived (source # doc_id%k) stream
+    column bounds every packing window to 1/k of a source while each
+    stream's pack ids still replay the exclusive-cumsum formula exactly."""
+    from pyspark.sql import functions as F
+
+    from openllm_ocr_annotator_spark.operators.pack import pack_sequences
+
+    rows = [(i, f"src{i % 2}", 10 + (i * 7) % 90) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    fine = docs.withColumn(
+        "stream",
+        F.concat("source", F.lit("#"), (F.col("doc_id") % 5).cast("string")),
+    )
+    packed = pack_sequences(fine, budget=100, stream_col="stream")
+    got = sorted(
+        (r.stream, r.doc_id, r.n_tokens, r.pack_id) for r in packed.collect()
+    )
+
+    # sequential replay of the boundary-packing formula per stream
+    by_stream: dict = {}
+    for stream, doc_id, n_tokens, pack_id in got:
+        by_stream.setdefault(stream, []).append((doc_id, n_tokens, pack_id))
+    assert len(by_stream) == 10  # 2 sources x 5 coprime buckets
+    for stream, items in by_stream.items():
+        acc = 0
+        for doc_id, n_tokens, pack_id in sorted(items):
+            assert pack_id == acc // 100, (stream, doc_id)
+            acc += n_tokens
+
+    # the window exchange partitions on the COMPOSITE key
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(stream" in plan
