@@ -559,6 +559,13 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
         frame, qt, hdc, hac, dri, scan, pos = _parse(payload)
         w, h, comps = frame
         comp_by_id = {c[0]: c for c in comps}
+        if len(scan) != len(comps):
+            # a partial scan uses non-interleaved per-component MCU
+            # geometry — refuse rather than walk the wrong grid
+            raise ValueError(
+                "unsupported JPEG: non-interleaved multi-scan layout "
+                f"(scan has {len(scan)} of {len(comps)} components)"
+            )
         for cid, _td, _ta in scan:
             if cid not in comp_by_id:
                 raise ValueError(f"corrupt JPEG: scan component {cid} not in frame")
