@@ -282,16 +282,9 @@ def mixture_rates(
     counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    c = F.col("n_docs").cast("double")
-    if temperature == 0.5:
-        weight = F.lit(1.0) / F.sqrt(c)
-    elif temperature == 0.25:
-        weight = F.lit(1.0) / (F.sqrt(c) * F.sqrt(F.sqrt(c)))
-    elif temperature == 0.75:
-        weight = F.lit(1.0) / F.sqrt(F.sqrt(c))
-    else:
-        weight = F.pow(c, F.lit(temperature - 1.0))
-    weighted = counts.withColumn("_w", weight)
+    weighted = counts.withColumn(
+        "_w", _tau_weight(F.col("n_docs").cast("double"), temperature)
+    )
     max_w = weighted.agg(F.max("_w").alias("_mw"))
     return (
         weighted.crossJoin(F.broadcast(max_w))
@@ -299,6 +292,74 @@ def mixture_rates(
             "stratum",
             "n_docs",
             F.round(F.col("_w") / F.col("_mw"), 6).alias("rate"),
+        )
+    )
+
+
+def _tau_weight(c, temperature: float):
+    """c^(τ-1) as sqrt/multiply/divide compositions for τ ∈ {0.25, 0.5,
+    0.75} (each IEEE-correctly-rounded in both Spark and DuckDB — the
+    cross-engine-exactness contract documented in ``mixture_rates``);
+    arbitrary τ falls back to libm pow."""
+    if temperature == 0.5:
+        return F.lit(1.0) / F.sqrt(c)
+    if temperature == 0.25:
+        return F.lit(1.0) / (F.sqrt(c) * F.sqrt(F.sqrt(c)))
+    if temperature == 0.75:
+        return F.lit(1.0) / F.sqrt(F.sqrt(c))
+    return F.pow(c, F.lit(temperature - 1.0))
+
+
+def mixture_epochs(
+    docs: DataFrame,
+    budget: float,
+    temperature: float = 0.5,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Epoch (repeat-factor) materialization of a temperature mixture —
+    the step after ``mixture_rates`` in the LLaMA/DoReMi-style recipe:
+    given a TARGET corpus size ``budget`` (same unit as the per-stratum
+    counts — documents here; pre-aggregate token counts and rename for a
+    token budget), the flattened target share is p_i = w_i / Σw with
+    w_i = c_i^(τ-1), and each stratum is visited
+
+        epochs_i = budget · p_i / c_i
+
+    times: > 1 means upsampling (repeat the low-resource source), < 1
+    down-sampling. Unlike ``mixture_rates`` (max-normalized, no
+    upsampling), this is the true probability normalization, so it needs
+    Σw — a float sum whose addition ORDER is engine-dependent. The sum is
+    therefore computed as a SORTED LEFT FOLD (collect, array_sort,
+    sequential aggregate; the stratum relation is tiny by construction),
+    which DuckDB restates exactly as
+    ``list_reduce(list_sort(list(w)), (a, b) -> a + b)`` — same values,
+    same order, same float result, keeping the oracle value-exact.
+
+    Output: (stratum, n_docs, share, epochs), 6-dp rounded.
+    """
+    counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    weighted = counts.withColumn(
+        "_w", _tau_weight(F.col("n_docs").cast("double"), temperature)
+    )
+    total = weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("_w")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_tw")
+    )
+    share = F.col("_w") / F.col("_tw")
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "stratum",
+            "n_docs",
+            F.round(share, 6).alias("share"),
+            F.round(
+                F.lit(float(budget)) * share / F.col("n_docs").cast("double"), 6
+            ).alias("epochs"),
         )
     )
 

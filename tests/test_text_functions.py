@@ -535,3 +535,22 @@ def test_pack_sequences_composite_stream_key_scale_path(spark):
     # the window exchange partitions on the COMPOSITE key
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(stream" in plan
+
+
+def test_mixture_epochs_upsamples_low_resource_sources(spark):
+    """Skewed strata: epochs must exceed 1 for the small source (true
+    upsampling — the step mixture_rates deliberately does not take),
+    shares must sum to ~1, and the budget must be conserved:
+    sum(epochs_i * c_i) == budget."""
+    from openllm_ocr_annotator_spark.operators.pack import mixture_epochs
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "small"))
+            for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r.stratum: r for r in mixture_epochs(docs, budget=1000.0).collect()}
+    assert got["big"].n_docs == 900 and got["small"].n_docs == 10
+    # tau=0.5 flattening: small source repeated, big source subsampled
+    assert got["small"].epochs > 1.0 > got["big"].epochs
+    assert got["small"].epochs > got["mid"].epochs > got["big"].epochs
+    assert abs(sum(r.share for r in got.values()) - 1.0) < 1e-6
+    assert abs(sum(r.epochs * r.n_docs for r in got.values()) - 1000.0) < 1e-2
