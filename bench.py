@@ -266,6 +266,7 @@ def main() -> None:
             "quality_classifier",
             "perplexity_filter",
             "mixture_rates",
+            "mixture_epochs",
             "text_token_stats",
             "skew_report",
             "cardinality_audit",
