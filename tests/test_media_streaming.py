@@ -644,3 +644,68 @@ def test_streaming_dedup_single_batch_matches_batch_twin(spark, tmp_path):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, dedup_batch_twin(ev).collect()))
     assert a == b and len(a) == 200
+
+
+def test_codec_fuzz_mutations_never_hang_or_leak_exceptions():
+    """Unified corrupt-input fuzz across every dependency-free codec
+    (BMP/PPM/GIF/PNG — JPEG has its own in test_jpegcodec.py): single-byte
+    mutations, truncations at every prefix length, and random tails after
+    a valid magic must either decode or raise ValueError through
+    ``decode_geometry`` — never struct.error/IndexError/zlib.error and
+    never hang (the round-3 ADVICE bug class: a negative PPM dimension
+    made the frame loop re-parse the same header forever). SIGALRM is the
+    hang tripwire: any single decode taking >20 s trips a hard failure
+    instead of wedging the suite."""
+    import signal
+
+    from openllm_ocr_annotator_spark.kernel import imagecodec as C
+
+    def _alarm(_sig, _frm):  # pragma: no cover - only fires on a real hang
+        raise AssertionError("codec fuzz: decode hung (infinite loop)")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(120)  # whole-test budget; each decode is microseconds
+    try:
+        bases = [
+            C.encode_bmp(9, 7),
+            C.encode_ppm_stream(8, 6, 2),
+            C.encode_gif(7, 5, 3),
+            C.encode_png(11, 4),
+        ]
+        seed = 0xC0FFEE
+        for base in bases:
+            # single-byte mutations (deterministic LCG positions/values)
+            for _ in range(250):
+                seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+                pos = (seed >> 16) % len(base)
+                val = (seed >> 40) & 0xFF
+                mutated = base[:pos] + bytes((val,)) + base[pos + 1 :]
+                try:
+                    got = C.decode_geometry(mutated)
+                    assert len(got) == 3
+                except ValueError:
+                    pass
+            # truncation at every prefix length
+            for cut in range(len(base)):
+                try:
+                    C.decode_geometry(base[:cut])
+                except ValueError:
+                    pass
+            # valid magic + random tail
+            magic = base[:8] if base[:8] == b"\x89PNG\r\n\x1a\n" else base[:3]
+            for _ in range(100):
+                seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+                n = 1 + (seed >> 8) % 64
+                tail = bytearray()
+                for _ in range(n):
+                    seed = (
+                        seed * 6364136223846793005 + 1442695040888963407
+                    ) % (1 << 64)
+                    tail.append((seed >> 33) & 0xFF)
+                try:
+                    C.decode_geometry(bytes(magic) + bytes(tail))
+                except ValueError:
+                    pass
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
