@@ -16,9 +16,13 @@ is canonicalized for 10^12 rows. Normalizations applied, in order:
 1. drop the fragment (``#...``),
 2. lowercase the scheme and authority (path/query case is preserved —
    paths are case-sensitive on most origins),
-3. normalize ``http://`` to ``https://`` (protocol-relative duplicate),
-4. strip a leading ``www.``,
-5. strip explicit default ports ``:443`` / ``:80``,
+3. strip an explicit default port of the URL's OWN scheme (``:80`` on
+   http, ``:443`` on https) — scheme-matched and applied BEFORE the
+   scheme rewrite, so ``https://host:80`` and ``http://host:443``
+   (nonstandard services, i.e. distinct origins) are never merged with
+   the default-port form,
+4. normalize ``http://`` to ``https://`` (protocol-relative duplicate),
+5. strip a leading ``www.``,
 6. remove tracking parameters (``utm_*``, ``fbclid``, ``gclid``) while
    PRESERVING every other query parameter — ``?id=7`` identifies a
    different document, ``?utm_source=rss`` does not,
@@ -46,13 +50,15 @@ def canonical_url(url: Column) -> Column:
     # 2. lowercase scheme + authority, preserve the rest
     head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
     u = F.concat(head, F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
-    # 3. scheme normalize
+    # 3. explicit default port OF THE URL'S OWN SCHEME — before the scheme
+    #    rewrite, so ``https://host:80`` / ``http://host:443`` (nonstandard
+    #    services = distinct origins) are never merged with the defaults
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#]|$)", r"$1$2")
+    # 4. scheme normalize
     u = F.regexp_replace(u, r"^http://", "https://")
-    # 4. www strip
+    # 5. www strip
     u = F.regexp_replace(u, r"^https://www\.", "https://")
-    # 5. default ports (host:443/path, host:80?q, host:443 at end)
-    u = F.regexp_replace(u, r"^(https://[^/:?#]+):(443|80)([/?#])", r"$1$3")
-    u = F.regexp_replace(u, r"^(https://[^/:?#]+):(443|80)$", r"$1")
     # 6. tracking params, anchored on the [?&] separator so a parameter
     #    merely ENDING in a tracking name (e.g. ``xutm_source``) is never
     #    clipped: first consume runs of tracking params that are followed

@@ -604,6 +604,15 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
         cid0, hi0, vi0, _ = comps[0]
         yplane = planes[cid0]
         if (hi0, vi0) != (hmax, vmax):
+            # integer replication only: a legal-but-exotic frame whose luma
+            # factor does not divide the max factor (e.g. Y=3x3, C=4x4)
+            # would otherwise floor-divide to a too-small plane and return
+            # fewer than w*h luma bytes, breaking the documented contract
+            if vmax % vi0 or hmax % hi0:
+                raise ValueError(
+                    "unsupported JPEG: luma sampling factors "
+                    f"{hi0}x{vi0} do not divide max factors {hmax}x{vmax}"
+                )
             yplane = np.repeat(
                 np.repeat(yplane, vmax // vi0, axis=0), hmax // hi0, axis=1
             )

@@ -640,9 +640,17 @@ def line_dedup(
     lines that is ~0.03 expected false drops — the trade every production
     line-dedup makes (exact-string verify would shuffle full text).
     """
+    # ``sep`` is a LITERAL separator in BOTH roles — F.split takes a Java
+    # regex while concat_ws takes a literal, so the regex side is quoted
+    # (\Q…\E) to keep them consistent: sep='.' or '|' splits on the
+    # character, not on the pattern.
+    if "\\E" in sep:
+        raise ValueError(r"line_dedup: separator may not contain '\E'")
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "line_no", "line"
+        ),
     )
     partic = F.length(F.trim(F.col("line"))) >= min_line_chars
     keyed = lines.where(partic).withColumn("_h", F.xxhash64("line"))

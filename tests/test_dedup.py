@@ -433,6 +433,34 @@ def test_line_dedup_min_line_chars_gate(spark):
     assert got[2].n_kept == 1
 
 
+def test_line_dedup_regex_meaningful_separator_is_literal(spark):
+    """``sep`` is a literal in BOTH the split and the rebuild: a
+    regex-meaningful separator ('|', '.') must split on the character,
+    not on the pattern (pre-fix, F.split treated '.' as match-anything
+    and produced an array of empty strings)."""
+    import pytest as _pytest
+
+    from openllm_ocr_annotator_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha|beta|alpha"), (2, "beta|gamma")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs, sep="|").collect()}
+    assert (got[1].n_lines, got[1].n_kept, got[1].text) == (3, 2, "alpha|beta")
+    assert (got[2].n_lines, got[2].n_kept, got[2].text) == (2, 1, "gamma")
+
+    dotted = spark.createDataFrame(
+        [(1, "one.two.one"), (2, "two.three")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in line_dedup(dotted, sep=".").collect()}
+    assert (got[1].n_lines, got[1].text) == (3, "one.two")
+    assert (got[2].n_lines, got[2].text) == (2, "three")
+
+    with _pytest.raises(ValueError, match=r"may not contain"):
+        line_dedup(docs, sep="\\E")
+
+
 def test_substring_dedup_exactsubstr_semantics(spark):
     """Lee et al. ExactSubstr, deterministic variant: the globally-first
     occurrence of a duplicated k-gram survives; later occurrences lose all
@@ -506,8 +534,14 @@ def test_canonical_url_preserves_real_params_and_path_case(spark):
         "https://a.com/p?utm_source=rss": "https://a.com/p",
         # path case is identity; host case is not
         "https://A.com/CaseSensitive/Path": "https://a.com/CaseSensitive/Path",
-        # :80 only strips with the http->https normalization applied first
+        # default port of the URL's OWN scheme strips (before the
+        # http->https rewrite) ...
         "http://a.com:80/x": "https://a.com/x",
+        "https://a.com:443": "https://a.com",
+        # ... but a nonstandard scheme/port pairing names a DIFFERENT
+        # origin and must survive canonicalization distinct
+        "https://a.com:80/x": "https://a.com:80/x",
+        "http://a.com:443/x": "https://a.com:443/x",
         # bare host, trailing slash, fragment
         "https://a.com/": "https://a.com",
         "https://a.com#frag": "https://a.com",

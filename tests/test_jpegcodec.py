@@ -226,3 +226,30 @@ def test_decode_fuzz_mutated_real_payloads():
                 fn(mutated)
             except ValueError:
                 pass
+
+
+def test_non_dividing_sampling_factors_raise_not_short_buffer():
+    """A legal-per-T.81 frame whose luma factors do not divide the max
+    factors (e.g. Y=3x3 with C=4x4) must raise ValueError — pre-fix the
+    pixel-replication upsample floor-divided (4//3 == 1) and silently
+    returned a luma buffer SHORTER than w*h, violating decode_jpeg_gray's
+    documented contract."""
+    base = bytearray(J.encode_jpeg(16, 16))
+    sof = bytes(base).index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) precision(1) h(2) w(2) ncomp(1), then
+    # [cid, HV, tq] per component — HV byte of component c is sof+11+3c
+    assert base[sof + 9] == 3  # 3 components, 4:4:4 as encoded
+    mutated = bytearray(base)
+    mutated[sof + 11] = 0x33        # Y: 3x3
+    mutated[sof + 14] = 0x44        # Cb: 4x4  -> hmax=vmax=4, 4 % 3 != 0
+    mutated[sof + 17] = 0x44        # Cr: 4x4
+    for fn in (J.decode_jpeg_gray, J.decode_jpeg):
+        try:
+            got = fn(bytes(mutated))
+        except ValueError:
+            continue
+        # if the entropy stream happens to decode, the geometry contract
+        # must still hold — decode_jpeg_gray returns exactly w*h bytes
+        if fn is J.decode_jpeg_gray:
+            w, h, gray = got
+            assert len(gray) == w * h
