@@ -135,22 +135,34 @@ def timed_best(
     vs the session-best canary are dropped when any clean-window trial
     exists, and one extra re-measure is spent trying to land a clean window.
 
-    Returns (best_seconds, final_spread, still_noisy, kept_trial_drift).
+    Drift is evaluated LAZILY against the current session-best ref (raw
+    probe seconds are stored, never a ratio): a session that STARTS in a
+    degraded window seeds a pessimistic ref, and trials probed before the
+    first clean window would otherwise be frozen at drift≈1.0 — certified
+    clean while ~2× wrong. The caller receives the kept trial's raw probe
+    seconds and must rescale against the FINAL ``canary.ref`` at report
+    time (run_suite does). Residual blind spot, documented not hidden: a
+    session that never sees one clean window has no in-session reference
+    at all — its artifact is uniformly pessimistic with drift≈1.0.
+
+    Returns (best_seconds, final_spread, still_noisy, kept_probe_seconds).
     """
-    measured: list[tuple[float, float]] = []  # (seconds, canary_drift)
+    measured: list[tuple[float, float]] = []  # (seconds, canary_probe_sec)
 
     def one() -> None:
-        drift_at = canary.probe() if canary is not None else 0.0
+        probe = canary.probe() if canary is not None else 0.0
         dt = run()
-        drift = (drift_at / canary.ref) if canary is not None else 1.0
-        measured.append((dt, round(drift, 2)))
+        measured.append((dt, probe))
+
+    def drift_of(probe: float) -> float:
+        return probe / canary.ref if canary is not None else 1.0
 
     for _ in range(trials):
         one()
     extra = 0
 
     def clean() -> list[tuple[float, float]]:
-        ok = [m for m in measured if m[1] <= drift_limit]
+        ok = [m for m in measured if drift_of(m[1]) <= drift_limit]
         return ok if ok else measured
 
     def spread_of(ms: list[tuple[float, float]]) -> float:
@@ -159,14 +171,14 @@ def timed_best(
 
     while extra < max_extra and (
         spread_of(clean()) > spread_limit
-        or all(d > drift_limit for _, d in measured)
+        or all(drift_of(p) > drift_limit for _, p in measured)
     ):
         one()
         extra += 1
     kept = clean()
-    best, best_drift = min(kept, key=lambda m: m[0])
+    best, best_probe = min(kept, key=lambda m: m[0])
     spread = spread_of(kept)
-    return best, round(spread, 2), spread > spread_limit, best_drift
+    return best, round(spread, 2), spread > spread_limit, best_probe
 
 
 def main() -> None:
@@ -196,7 +208,7 @@ def main() -> None:
         input_dir = prepare_input(spark, sf_dir, replicate, work_dir)
         noisy: list[str] = []
         spreads: dict[str, float] = {}
-        drifts: dict[str, float] = {}
+        probes: dict[str, float] = {}  # raw canary seconds per kept trial
         canary = Canary(spark)
         for _ in range(3):  # seed the session-best canary reference
             canary.probe()
@@ -212,24 +224,24 @@ def main() -> None:
             n_spans_box[:] = [s]
             return dt
 
-        dt, sp, bad, drift = timed_best(run_headline, canary)
+        dt, sp, bad, probe = timed_best(run_headline, canary)
         n_docs, n_spans = n_docs_box[0], n_spans_box[0]
         timings["extract_e2e"] = round(dt, 3)
         spreads["extract_e2e"] = sp
-        drifts["extract_e2e"] = drift
+        probes["extract_e2e"] = probe
         if bad:
             noisy.append("extract_e2e")
         docs_per_sec = round(n_docs / dt, 1)
         # salted variant: full repartition before the kernel — the skew
         # insurance for corpora whose mega-docs cluster in scan splits;
         # the delta prices that insurance (a full-corpus shuffle)
-        sdt, sp, bad, drift = timed_best(
+        sdt, sp, bad, probe = timed_best(
             lambda: run_extract_bench(spark, input_dir, num_partitions=cpus * 2)[2],
             canary,
         )
         timings["extract_salted"] = round(sdt, 3)
         spreads["extract_salted"] = sp
-        drifts["extract_salted"] = drift
+        probes["extract_salted"] = probe
         if bad:
             noisy.append("extract_salted")
 
@@ -297,10 +309,10 @@ def main() -> None:
                 spark.catalog.clearCache()
                 return elapsed
 
-            best, sp, bad, drift = timed_best(run_query, canary)
+            best, sp, bad, probe = timed_best(run_query, canary)
             timings[name] = round(best, 3)
             spreads[name] = sp
-            drifts[name] = drift
+            probes[name] = probe
             if bad:
                 noisy.append(name)
 
@@ -322,10 +334,15 @@ def main() -> None:
                 "target": p.get("target"),
                 "pass": p.get("pass"),
             }
-        # window quality over the whole run: max kept-trial canary drift.
+        # window quality over the whole run: max kept-trial canary drift,
+        # recomputed against the FINAL session-best ref (a session that
+        # starts degraded must not certify its early numbers clean just
+        # because the ref was provisional when they were probed).
         # <=1.8 → every recorded number came from a clean window; higher →
         # that many queries only ever saw a degraded window (number is at
         # most ~drift× pessimistic — the honest tag VERDICT r3 #3 asked for)
+        ref = max(canary.ref, 1e-9)
+        drifts = {k: round(p / ref, 2) if p else 1.0 for k, p in probes.items()}
         worst_drift = max(drifts.values()) if drifts else 1.0
         full = {
             "metric": "e2e_suite_seconds",

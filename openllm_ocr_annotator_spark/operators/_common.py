@@ -18,3 +18,17 @@ def spread_partitions(df: DataFrame, *keys: str) -> DataFrame:
     if df.rdd.getNumPartitions() < n_part:
         df = df.repartition(n_part, *keys) if keys else df.repartition(n_part)
     return df
+
+
+def schema_ddl(df: DataFrame, *, drop: tuple[str, ...] = (), add: str = "") -> str:
+    """DDL output-schema string for a Pandas-UDF stage: the input fields
+    minus ``drop``, plus the ``add`` suffix (``"name type, ..."``). The one
+    shared builder for every mapInPandas/applyInPandas site — names are
+    backtick-quoted so columns with spaces/dots survive, and an escaping
+    fix lands everywhere at once instead of in five hand-rolled copies."""
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name not in drop
+    )
+    return f"{cols}, {add}" if add else cols

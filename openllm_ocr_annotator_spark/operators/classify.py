@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..kernel import classify as C
-from ._common import spread_partitions
+from ._common import schema_ddl, spread_partitions
 
 N_FEATURES = 1 << 18
 
@@ -96,11 +96,7 @@ def score_documents(
         raise ValueError(f"score_documents: input already has {out_col!r}")
     bc = docs.sparkSession.sparkContext.broadcast((weights, float(bias)))
     other_cols = [c for c in docs.columns if c != text_col]
-    schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in docs.schema.fields
-        if f.name != text_col
-    ) + f", {out_col} double"
+    schema = schema_ddl(docs, drop=(text_col,), add=f"{out_col} double")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w, b = bc.value

@@ -346,9 +346,6 @@ def simhash_pairs(
     Pass ``caches=[]`` to receive the cached hash relation for caller-owned
     ``unpersist()`` (same contract as ``ngram_jaccard_pairs``).
     """
-    n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = K.simhash64_batch([str(t) for t in pdf[text_col]])
@@ -366,23 +363,64 @@ def simhash_pairs(
     if caches is not None:
         caches.append(hashes)
 
+    return chunk_band_pairs(
+        hashes, "doc_id", "simhash", max_hamming, max_bucket_size
+    ).select(
+        F.col("key_a").alias("doc_a"),
+        F.col("key_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+def chunk_band_pairs(
+    hashes: DataFrame,
+    key_col: str,
+    hash_col: str,
+    max_hamming: int,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Pigeonhole chunk banding for 64-bit Hamming near-dup search — the
+    shared core of ``simhash_pairs`` (text) and ``media.phash_dedup``
+    (images), factored so bucket-cap / banding semantics can never diverge
+    between the two paths.
+
+    Split the 64-bit hash into (max_hamming+1) chunks that COVER all 64
+    bits (widths differ by at most one bit when max_hamming+1 does not
+    divide 64 — pre-refactor, simhash_pairs floor-divided the width and
+    silently left the top bits un-banded, a recall hole for e.g.
+    max_hamming=16): any pair within the distance budget has all its
+    differing bits in at most max_hamming chunks, so it shares at least
+    one identical chunk (pigeonhole) and the bucket equi-join on
+    (chunk_idx, chunk_val) has PERFECT recall with no all-pairs join.
+    ``max_bucket_size`` caps pathological buckets (mega-boilerplate text /
+    viral images → bucket² join rows) with the same documented drop on
+    both paths.
+
+    Returns distinct ``(key_a, key_b, hamming)`` with ``key_a < key_b``
+    and ``hamming <= max_hamming`` (0 included — callers slice the range
+    they need).
+    """
+    n_chunks = max_hamming + 1
+    if not 0 < max_hamming < 64:
+        raise ValueError("max_hamming must be in 1..63 for a 64-bit hash")
+    bounds = [64 * i // n_chunks for i in range(n_chunks + 1)]
     chunks = hashes.select(
-        "doc_id",
-        "simhash",
+        key_col,
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned("simhash", i * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        F.shiftrightunsigned(hash_col, bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                         .alias("chunk_val"),
                     )
                     for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    ).select(key_col, hash_col, "c.chunk_idx", "c.chunk_val")
 
     bucket_sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
         F.count(F.lit(1)).alias("_n")
@@ -395,17 +433,19 @@ def simhash_pairs(
 
     a = chunks.alias("a")
     b = chunks.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+    )
     return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col(f"a.{key_col}").alias("key_a"),
+            F.col(f"b.{key_col}").alias("key_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

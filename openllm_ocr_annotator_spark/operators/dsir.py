@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..kernel import dsir as D
-from ._common import spread_partitions
+from ._common import schema_ddl, spread_partitions
 
 N_BUCKETS = 1 << 14
 
@@ -82,11 +82,7 @@ def importance_weights(
             raise ValueError(f"importance_weights: input already has {c!r}")
     bc = docs.sparkSession.sparkContext.broadcast(diff)
     other_cols = [c for c in docs.columns if c != text_col]
-    schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in docs.schema.fields
-        if f.name != text_col
-    ) + ", log_w double, sel_key double"
+    schema = schema_ddl(docs, drop=(text_col,), add="log_w double, sel_key double")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         d = bc.value

@@ -293,11 +293,6 @@ def phash_dedup(
     lexicographically-first media_ref of each exact bucket (the canonical
     copy a curation pass retains).
     """
-    n_chunks = max_hamming + 1
-    if 64 % n_chunks:
-        raise ValueError("max_hamming+1 must divide 64 (chunked banding)")
-    chunk_bits = 64 // n_chunks
-
     # the hash relation feeds four subtrees (exact buckets, both sides of
     # the band self-join, the final join-back); without a persist each one
     # re-runs the upstream decode+hash kernel — every image decoded ~7×.
@@ -313,46 +308,15 @@ def phash_dedup(
         F.min("media_ref").alias("_keeper"),
     )
 
-    chunks = hashes.select(
-        "media_ref",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned("phash", i * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("chunk_val"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("media_ref", "phash", "c.chunk_idx", "c.chunk_val")
-    bucket_sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    chunks = chunks.join(
-        bucket_sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-        ["chunk_idx", "chunk_val"],
-        "left_semi",
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    from .dedup import chunk_band_pairs
+
     near_pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.media_ref") < F.col("b.media_ref")),
-        )
-        .filter((hamming >= 1) & (hamming <= max_hamming))
+        chunk_band_pairs(hashes, "media_ref", "phash", max_hamming, max_bucket_size)
+        .filter(F.col("hamming") >= 1)  # hamming 0 is the exact-bucket leg
         .select(
-            F.col("a.media_ref").alias("ref_a"),
-            F.col("b.media_ref").alias("ref_b"),
+            F.col("key_a").alias("ref_a"),
+            F.col("key_b").alias("ref_b"),
         )
-        .distinct()  # a pair can match in several chunks
     )
     near_counts = (
         near_pairs.select(F.col("ref_a").alias("media_ref"))

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._common import schema_ddl
+
 
 def pack_sequences(
     docs: DataFrame,
@@ -107,9 +109,7 @@ def pack_sequences_dense(
     """
     import pandas as pd
 
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in docs.schema.fields
-    ) + ", pack_id long"
+    out_schema = schema_ddl(docs, add="pack_id long")
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..kernel import lm as L
-from ._common import spread_partitions
+from ._common import schema_ddl, spread_partitions
 
 
 def train_lm_from_sources(
@@ -69,11 +69,7 @@ def score_perplexity(
     bc = docs.sparkSession.sparkContext.broadcast(lm)
     scorer = L.ngram_perplexity if isinstance(lm, L.NgramLM) else L.perplexity
     other_cols = [c for c in docs.columns if c != text_col]
-    schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in docs.schema.fields
-        if f.name != text_col
-    ) + f", {out_col} double"
+    schema = schema_ddl(docs, drop=(text_col,), add=f"{out_col} double")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = bc.value

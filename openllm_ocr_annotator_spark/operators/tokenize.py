@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..kernel import bpe as B
-from ._common import spread_partitions
+from ._common import schema_ddl, spread_partitions
 
 
 def train_bpe_from_corpus(
@@ -64,11 +64,7 @@ def bpe_token_counts(
         )
     ranks_bc = docs.sparkSession.sparkContext.broadcast(B.merge_ranks(merges))
     other_cols = [c for c in docs.columns if c != text_col]
-    schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in docs.schema.fields
-        if f.name != text_col
-    ) + f", {out_col} long"
+    schema = schema_ddl(docs, drop=(text_col,), add=f"{out_col} long")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ranks = ranks_bc.value
