@@ -21,8 +21,11 @@ is canonicalized for 10^12 rows. Normalizations applied, in order:
    scheme rewrite, so ``https://host:80`` and ``http://host:443``
    (nonstandard services, i.e. distinct origins) are never merged with
    the default-port form,
-4. normalize ``http://`` to ``https://`` (protocol-relative duplicate),
-5. strip a leading ``www.``,
+4. normalize ``http://`` to ``https://`` (protocol-relative duplicate)
+   — but ONLY when the authority carries no explicit port: non-default
+   ports name distinct origins per scheme, and rewriting them would
+   break idempotence (see below),
+5. strip a leading ``www.`` on either scheme,
 6. remove tracking parameters (``utm_*``, ``fbclid``, ``gclid``) while
    PRESERVING every other query parameter — ``?id=7`` identifies a
    different document, ``?utm_source=rss`` does not,
@@ -32,6 +35,12 @@ Deliberately NOT applied (they change identity): path ``..``
 resolution, percent-decoding, query-parameter reordering — documented
 rather than guessed, since each can merge URLs that serve different
 content.
+
+``canonical_url`` is IDEMPOTENT — its output is a fixed point
+(pytest-pinned, including a fuzz sweep over dressing combinations).
+The property matters operationally: incremental ingests re-canonicalize
+already-canonical key columns, and a non-fixed-point key would silently
+re-split or re-merge dedup groups between passes.
 """
 
 from __future__ import annotations
@@ -55,10 +64,18 @@ def canonical_url(url: Column) -> Column:
     #    services = distinct origins) are never merged with the defaults
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#]|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#]|$)", r"$1$2")
-    # 4. scheme normalize
-    u = F.regexp_replace(u, r"^http://", "https://")
-    # 5. www strip
-    u = F.regexp_replace(u, r"^https://www\.", "https://")
+    # 4. scheme normalize — ONLY when no explicit port remains. The
+    #    http→https merge is the protocol-relative-duplicate heuristic,
+    #    which is safe only on default ports: http://host:8080 and
+    #    https://host:8080 are distinct origins, and rewriting
+    #    http://host:443 would produce a form the :443-strip rule
+    #    re-canonicalizes differently (idempotence break — a key column
+    #    canonicalized twice, e.g. across incremental ingests, must be a
+    #    fixed point). Authorities containing ':' (port or userinfo) are
+    #    conservatively left on their original scheme.
+    u = F.regexp_replace(u, r"^http://([^/:?#]*)([/?#]|$)", r"https://$1$2")
+    # 5. www strip (either scheme — http survives step 4 with a port)
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
     # 6. tracking params, anchored on the [?&] separator so a parameter
     #    merely ENDING in a tracking name (e.g. ``xutm_source``) is never
     #    clipped: first consume runs of tracking params that are followed

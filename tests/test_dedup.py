@@ -539,9 +539,13 @@ def test_canonical_url_preserves_real_params_and_path_case(spark):
         "http://a.com:80/x": "https://a.com/x",
         "https://a.com:443": "https://a.com",
         # ... but a nonstandard scheme/port pairing names a DIFFERENT
-        # origin and must survive canonicalization distinct
+        # origin and must survive canonicalization distinct; http with an
+        # explicit port keeps its scheme (the http->https merge is only
+        # safe on default ports, and rewriting would break idempotence)
         "https://a.com:80/x": "https://a.com:80/x",
-        "http://a.com:443/x": "https://a.com:443/x",
+        "http://a.com:443/x": "http://a.com:443/x",
+        "http://a.com:8080/x": "http://a.com:8080/x",
+        "http://www.a.com:8080/x/": "http://a.com:8080/x",
         # bare host, trailing slash, fragment
         "https://a.com/": "https://a.com",
         "https://a.com#frag": "https://a.com",
@@ -556,6 +560,35 @@ def test_canonical_url_preserves_real_params_and_path_case(spark):
     df = spark.createDataFrame([(k,) for k in cases], "url string")
     got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
     assert got == list(cases.values())
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) for every dressing combo —
+    the fixed-point property incremental ingests rely on (a key column
+    canonicalized twice must not re-split or re-merge groups). Pre-fix
+    counterexample: http://a.com:443/x -> https://a.com:443/x -> second
+    pass stripped the now-ambiguous :443."""
+    import itertools
+
+    from openllm_ocr_annotator_spark.functions.urls import canonical_url
+
+    urls = []
+    for scheme, www, port, path, query, frag in itertools.product(
+        ["http://", "https://", "HTTP://"],
+        ["", "www.", "WWW."],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/Docs/9", "/Docs/9/"],
+        ["", "?id=7", "?utm_source=rss", "?id=7&utm_a=1&fbclid=z", "?utm_a=1&utm_b=2"],
+        ["", "#frag"],
+    ):
+        urls.append(f"{scheme}{www}Site.Example.com{port}{path}{query}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonical_url(F.col("url"))
+    twice = canonical_url(canonical_url(F.col("url")))
+    bad = df.select("url", once.alias("c1"), twice.alias("c2")).filter(
+        "c1 != c2"
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
 
 
 def test_url_dedup_group_and_survivor(spark):
