@@ -270,6 +270,7 @@ def main() -> None:
             "gopher_gates",
             "similarity_topk",
             "similarity_lsh_topk",
+            "similarity_ivf_pq_topk",
             "bm25_search",
             "embedding_near_dups",
             "semantic_dedup",

@@ -47,6 +47,31 @@ def _as_double(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
+def _exact_rerank(
+    cand: DataFrame, queries: DataFrame, corpus: DataFrame, k: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Shared ANN tail: join raw vectors onto a (query_id, neighbor_id)
+    candidate relation, exact-cosine score (JVM left-fold), window top-k.
+    The candidate relation bounds the join fan-out — this stage never sees
+    more rows than the bucketing/probing stage emitted."""
+    q = _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
+    c = _as_double(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv")
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def brute_force_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -146,21 +171,7 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
-    c = _as_double(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv")
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
-    )
+    return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)
 
 
 def ivf_assignments(
@@ -253,6 +264,22 @@ def lloyd_centroids(sample: np.ndarray, n_cells: int, iters: int) -> np.ndarray:
     return centroids
 
 
+def bounded_sample(
+    corpus: DataFrame, sample_rows: int = 4096,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """The ``sample_rows`` lowest-id vectors as a float64 matrix — the
+    quantizer-training sample (seedless determinism, bounded driver memory
+    at any corpus size; the FAISS training rule). Shared by the coarse
+    (IVF) and product (PQ) quantizer trainers."""
+    sample = (
+        corpus.orderBy(id_col).limit(sample_rows)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    return np.stack([np.asarray(r.v, dtype=np.float64) for r in sample])
+
+
 def ivf_train_centroids(
     corpus: DataFrame, n_cells: int = 32, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -270,13 +297,9 @@ def ivf_train_centroids(
     lets the driver's golden oracle replay the quantizer bit-for-bit.
     Assignment of the full corpus stays distributed (``ivf_assignments``).
     """
-    sample = (
-        corpus.orderBy(id_col).limit(sample_rows)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
+    return lloyd_centroids(
+        bounded_sample(corpus, sample_rows, id_col, vec_col), n_cells, iters
     )
-    mat = np.stack([np.asarray(r.v, dtype=np.float64) for r in sample])
-    return lloyd_centroids(mat, n_cells, iters)
 
 
 def ivf_topk(
@@ -304,21 +327,192 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
-    c = _as_double(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv")
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+    return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)
+
+
+def _lloyd_l2(sample: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Plain squared-L2 Lloyd for PQ sub-quantizer training: init = first
+    ``k`` rows, assign by L2 argmin, mean update (empty cell keeps its
+    centroid). Cosine normalization (``lloyd_centroids``) would be wrong
+    here — coarse residuals are small, direction-less displacement
+    vectors whose NORMS carry the information PQ must preserve. Pure
+    function — also the golden-generation twin."""
+    if len(sample) < k:
+        raise ValueError(f"PQ training sample ({len(sample)}) smaller than ksub ({k})")
+    cb = sample[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            members = sample[a == j]
+            if len(members):
+                cb[j] = members.mean(axis=0)
+    return cb
+
+
+def pq_train(
+    sample: np.ndarray, n_cells: int, iters: int,
+    m_sub: int, ksub: int, pq_iters: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the IVF-PQ index driver-side on a BOUNDED sample: the coarse
+    quantizer (cosine Lloyd, as ``ivf_train_centroids``) plus ``m_sub``
+    product sub-quantizers over the coarse RESIDUALS of the normalized
+    sample (FAISS IVFPQ residual encoding — residuals are much lower
+    variance than raw vectors, so 4-bit/8-bit codes spend their levels
+    where the distances actually live).
+
+    Returns ``(centroids (n_cells, d), codebooks (m_sub, ksub, d/m_sub))``.
+    Pure numpy — the golden replay calls this same function, making every
+    downstream float reproducible outside Spark."""
+    d = sample.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible into {m_sub} subspaces")
+    dsub = d // m_sub
+    centroids = lloyd_centroids(sample, n_cells, iters)
+    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cells = assign_cells(sample, cnorm, 1)[:, 0]
+    resid = sn - cnorm[cells]
+    codebooks = np.stack(
+        [_lloyd_l2(resid[:, m * dsub:(m + 1) * dsub], ksub, pq_iters)
+         for m in range(m_sub)]
+    )
+    return centroids, codebooks
+
+
+def pq_encode(
+    mat: np.ndarray, cnorm: np.ndarray, codebooks: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cells, codes): nearest coarse cell per row + per-subspace codeword
+    of the normalized-vector residual. Every reduction is an own-buffer
+    sum over ``dsub`` elements per output scalar — bit-identical at any
+    Arrow batch height (the property the golden replay relies on; the
+    matmul argmax for the cell shares the accepted IVF assumption).
+    Shared verbatim by the Spark kernel and the golden twin."""
+    m_sub, ksub, dsub = codebooks.shape
+    cells = assign_cells(mat, cnorm, 1)[:, 0]
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    resid = mn - cnorm[cells]
+    codes = np.empty((len(mat), m_sub), dtype=np.int32)
+    for m in range(m_sub):
+        r = resid[:, m * dsub:(m + 1) * dsub]
+        d2 = ((r[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = d2.argmin(axis=1)
+    return cells, codes
+
+
+def pq_query_tables(
+    mat: np.ndarray, cnorm: np.ndarray, codebooks: np.ndarray, nprobe: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-query ADC precomputation: probed cells (cosine argsort), the
+    query·centroid dot per probe, and the flattened lookup table
+    ``lut[m*ksub + j] = q_sub[m] · codeword[m][j]`` — so a candidate's
+    approximate inner product is ``cell_dot + Σ_m lut[m*ksub+code_m]``
+    (exact given the quantization: q·(c+r̂) = q·c + q·r̂). All reductions
+    are own-buffer sums over ``dsub`` (or d) elements — batch-height
+    independent. Shared verbatim with the golden twin."""
+    m_sub, ksub, dsub = codebooks.shape
+    n = len(mat)
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cells = assign_cells(mat, cnorm, nprobe)  # (n, nprobe)
+    cell_dots = (mn[:, None, :] * cnorm[cells]).sum(axis=2)  # (n, nprobe)
+    luts = (
+        (mn.reshape(n, m_sub, 1, dsub) * codebooks[None]).sum(axis=3)
+        .reshape(n, m_sub * ksub)
+    )
+    return cells, cell_dots, luts
+
+
+def ivf_pq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    n_cells: int = 32, nprobe: int = 4, iters: int = 2,
+    m_sub: int = 8, ksub: int = 16, pq_iters: int = 2,
+    rerank: int | None = None, sample_rows: int = 4096,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011) ANN top-k — the memory-footprint
+    scale path: corpus vectors live in the index as ``m_sub`` small codes
+    (8 bytes/vector at these defaults vs 256 for raw float32×64), scored
+    against per-query lookup tables, with exact-cosine rerank of only the
+    top-``rerank`` ADC candidates.
+
+    Plan shape at 10^12 vectors: train driver-side on a bounded sample
+    (``pq_train`` — the FAISS rule, and what makes the whole path replay
+    bit-for-bit outside Spark); one narrow Arrow pass encodes the corpus
+    to ``(cell, codes)``; queries carry their LUT (m_sub×ksub doubles)
+    through a cell equi-join — fan-out E[Q × nprobe × N / n_cells], same
+    as IVF-Flat but each candidate row costs an m_sub-term JVM left-fold
+    over the LUT instead of a d-term dot over raw floats, and the raw
+    corpus vectors are touched ONLY for the ≤ Q×rerank rerank join. The
+    ADC sum runs JVM-side (transform + element_at + aggregate left fold:
+    fixed addition order, whole-stage codegen, bit-reproducible by the
+    pure-Python golden)."""
+    if rerank is None:
+        rerank = 4 * k
+    centroids, codebooks = pq_train(
+        bounded_sample(corpus, sample_rows, id_col, vec_col),
+        n_cells, iters, m_sub, ksub, pq_iters,
+    )
+    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):  # np.stack([]) raises on empty Arrow batches
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cells, codes = pq_encode(mat, cnorm, codebooks)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cell": cells.astype(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    def query_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cells, cell_dots, luts = pq_query_tables(mat, cnorm, codebooks, nprobe)
+            n, np_ = cells.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), np_),
+                    "cell": cells.reshape(-1).astype(np.int64),
+                    "cell_dot": cell_dots.reshape(-1),
+                    "lut": list(np.repeat(luts, np_, axis=0)),
+                }
+            )
+
+    cb = spread_partitions(corpus.select(id_col, vec_col), id_col).mapInPandas(
+        encode_kernel, schema="neighbor_id long, cell long, codes array<int>"
+    )
+    qb = queries.select(id_col, vec_col).mapInPandas(
+        query_kernel,
+        schema="query_id long, cell long, cell_dot double, lut array<double>",
+    )
+    # ADC score per candidate, JVM-side: fixed-order left fold over the
+    # m_sub code lookups (bit-reproducible), LUT/codes dropped immediately
+    contrib = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(F.col("lut"), i * F.lit(ksub) + c + F.lit(1)),
+    )
+    adc = F.col("cell_dot") + F.aggregate(
+        contrib, F.lit(0.0), lambda acc, x: acc + x
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        F.col("adc").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    cand = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+        .withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= rerank)
+        .select("query_id", "neighbor_id")
     )
+    return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)
 
 
 def embedding_near_dups(

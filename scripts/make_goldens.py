@@ -402,6 +402,65 @@ pq.write_table(
 print(f"golden extra: {len(ivf_rows)} ivf-topk rows")
 
 # ---------------------------------------------------------------------------
+# IVF-PQ ANN top-k golden (similarity_ivf_pq_topk: queries = vec_id < 20,
+# k=5, n_cells=16, nprobe=4, m_sub=8, ksub=16, pq_iters=2, rerank=20).
+# Replays the SAME pq_train/pq_encode/pq_query_tables numpy functions the
+# operator kernels call, then the ADC sum in Spark's exact addition order:
+# aggregate's left fold over the m_sub LUT lookups from 0.0, then one add
+# of the query·centroid dot — JVM and Python doubles are both IEEE-754
+# binary64 with a fixed order, so the candidate cut at rerank and every
+# rank are reproduced bit-for-bit, not approximately.
+# ---------------------------------------------------------------------------
+from openllm_ocr_annotator_spark.operators.similarity import (  # noqa: E402
+    pq_encode,
+    pq_query_tables,
+    pq_train,
+)
+
+M_SUB, KSUB, NPROBE_PQ, RERANK_PQ = 8, 16, 4, 20
+pq_centroids, pq_codebooks = pq_train(mat_all[:4096], 16, 2, M_SUB, KSUB, 2)
+pq_cnorm = pq_centroids / np.linalg.norm(pq_centroids, axis=1, keepdims=True)
+pq_cells, pq_codes = pq_encode(mat_all, pq_cnorm, pq_codebooks)
+pq_members: dict[int, list[int]] = {}
+for i, c in enumerate(pq_cells):
+    pq_members.setdefault(int(c), []).append(i)
+qc, qd, ql = pq_query_tables(mat_all[q_rows_idx], pq_cnorm, pq_codebooks, NPROBE_PQ)
+ivfpq_rows = []
+for row, qi in enumerate(q_rows_idx):
+    qid = ids_sorted[qi]
+    cands = []
+    for pi in range(qc.shape[1]):
+        cell_dot = float(qd[row, pi])
+        for n_idx in pq_members.get(int(qc[row, pi]), []):
+            nid = ids_sorted[n_idx]
+            if nid == qid:
+                continue
+            acc = 0.0  # Spark aggregate's left fold, same order
+            for m in range(M_SUB):
+                acc = acc + float(ql[row, m * KSUB + int(pq_codes[n_idx, m])])
+            cands.append((nid, cell_dot + acc))
+    cands.sort(key=lambda t: (-t[1], t[0]))  # adc desc, neighbor_id asc
+    qv = vecs[qid]
+    qn = _fold_norm(qv)
+    scored = [(n, _fold_dot(qv, vecs[n]) / (qn * _fold_norm(vecs[n])))
+              for n, _ in cands[:RERANK_PQ]]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    for rank, (n, cos) in enumerate(scored[:5], start=1):
+        ivfpq_rows.append((qid, n, rank, round(cos, 6)))
+pq.write_table(
+    pa.table(
+        {
+            "query_id": pa.array([r[0] for r in ivfpq_rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in ivfpq_rows], pa.int64()),
+            "rank": pa.array([r[2] for r in ivfpq_rows], pa.int32()),
+            "cosine": pa.array([r[3] for r in ivfpq_rows], pa.float64()),
+        }
+    ),
+    os.path.join(OUT_DIR, "similarity_ivf_pq_topk.parquet"),
+)
+print(f"golden extra: {len(ivfpq_rows)} ivf-pq-topk rows")
+
+# ---------------------------------------------------------------------------
 # Global lineage golden: (doc_count, span_count, checksum) where checksum =
 # xor-fold of Spark-compatible XXH64 row hashes (kernel/xxh64.py — pinned
 # against F.xxhash64 in tests/test_xxh64.py). Partition-layout-independent

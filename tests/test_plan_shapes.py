@@ -72,6 +72,20 @@ def test_topk_uses_broadcast_and_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_ivf_pq_adc_scoring_is_jvm_side(spark):
+    plan = _plan(qc.QUERIES["similarity_ivf_pq_topk"](spark, SF_DIR))
+    # exactly two Python stages — the corpus encode and the query LUT
+    # kernels; the per-candidate ADC fold must compile to JVM expressions
+    # (transform/element_at/aggregate), never a third Python pass.
+    # (formatted explain prints each node twice: tree + detail section —
+    # count the uniquely-numbered detail headers)
+    import re
+
+    nodes = re.findall(r"\(\d+\) MapInPandas", plan)
+    assert len(nodes) == 2, nodes
+    assert "WindowGroupLimit" in plan, "ADC cut and top-k must group-limit"
+
+
 def test_majority_vote_partial_aggregation(spark):
     plan = _plan(qc.QUERIES["majority_vote"](spark, SF_DIR))
     # partial_count before the exchange = map-side combine
