@@ -431,10 +431,11 @@ def ivf_pq_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-PQ (IVFADC, Jégou et al. 2011) ANN top-k — the memory-footprint
-    scale path: corpus vectors live in the index as ``m_sub`` small codes
-    (8 bytes/vector at these defaults vs 256 for raw float32×64), scored
-    against per-query lookup tables, with exact-cosine rerank of only the
-    top-``rerank`` ADC candidates.
+    scale path: corpus vectors live in the index as ``m_sub`` sub-quantizer
+    codes — ONE packed int64 at the defaults (4 bits × 8 subspaces), a
+    24-byte fixed-width index row vs 256+ bytes for raw float32×64 —
+    scored against per-query lookup tables, with exact-cosine rerank of
+    only the top-``rerank`` ADC candidates.
 
     Plan shape at 10^12 vectors: train driver-side on a bounded sample
     (``pq_train`` — the FAISS rule, and what makes the whole path replay
@@ -455,19 +456,31 @@ def ivf_pq_topk(
     )
     cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
+    # codes transport: ksub codewords need ceil(log2(ksub)) bits each, so
+    # at the defaults (16×8 = 32 bits) ALL codes pack into one LONG and
+    # the index row is (id, cell, packed) = 24 fixed bytes — the 10^12-row
+    # shuffle/storage shape PQ exists for. Wide configs (e.g. 8-bit × 8
+    # subquantizers = 64 bits, sign-unsafe in an int64) fall back to
+    # array<int>; both unpack/score purely JVM-side.
+    bpc = max(1, int(ksub - 1).bit_length())
+    packed = bpc * m_sub <= 63
+
     def encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.int64(1) << (bpc * np.arange(m_sub, dtype=np.int64))
         for pdf in batches:
             if not len(pdf):  # np.stack([]) raises on empty Arrow batches
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             cells, codes = pq_encode(mat, cnorm, codebooks)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(),
-                    "cell": cells.astype(np.int64),
-                    "codes": list(codes),
-                }
-            )
+            out = {
+                "neighbor_id": pdf[id_col].to_numpy(),
+                "cell": cells.astype(np.int64),
+            }
+            if packed:
+                out["codes"] = (codes.astype(np.int64) * shifts).sum(axis=1)
+            else:
+                out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
     def query_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -486,21 +499,31 @@ def ivf_pq_topk(
             )
 
     cb = spread_partitions(corpus.select(id_col, vec_col), id_col).mapInPandas(
-        encode_kernel, schema="neighbor_id long, cell long, codes array<int>"
+        encode_kernel,
+        schema=f"neighbor_id long, cell long, codes {'long' if packed else 'array<int>'}",
     )
     qb = queries.select(id_col, vec_col).mapInPandas(
         query_kernel,
         schema="query_id long, cell long, cell_dot double, lut array<double>",
     )
-    # ADC score per candidate, JVM-side: fixed-order left fold over the
-    # m_sub code lookups (bit-reproducible), LUT/codes dropped immediately
-    contrib = F.transform(
-        F.col("codes"),
-        lambda c, i: F.element_at(F.col("lut"), i * F.lit(ksub) + c + F.lit(1)),
-    )
-    adc = F.col("cell_dot") + F.aggregate(
-        contrib, F.lit(0.0), lambda acc, x: acc + x
-    )
+    # ADC score per candidate, JVM-side: left-associated sum over the m_sub
+    # code lookups in subspace order — the SAME addition order on both the
+    # packed path (explicit expression chain) and the array path
+    # (aggregate's left fold starts at lit(0.0) too), so the golden replay
+    # covers both transports with one arithmetic
+    if packed:
+        mask = F.lit((1 << bpc) - 1)
+        acc = F.lit(0.0)
+        for m in range(m_sub):
+            code_m = F.shiftright(F.col("codes"), bpc * m).bitwiseAND(mask)
+            acc = acc + F.element_at(F.col("lut"), (code_m + F.lit(m * ksub + 1)).cast("int"))
+    else:
+        contrib = F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(F.col("lut"), i * F.lit(ksub) + c + F.lit(1)),
+        )
+        acc = F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+    adc = F.col("cell_dot") + acc
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )

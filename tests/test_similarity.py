@@ -149,6 +149,14 @@ def test_ivf_pq_degenerates_to_ivf_flat_with_full_rerank(spark, emb):
         emb.filter("vec_id < 20"), emb, k=5, n_cells=8, nprobe=3, rerank=10**6
     ).collect()
     assert sorted(map(tuple, flat)) == sorted(map(tuple, full))
+    # 8-bit × 8 subspaces = 64 code bits — sign-unsafe in an int64, so this
+    # config takes the array<int> transport + aggregate-fold ADC instead of
+    # the packed-long path; under full rerank it must STILL equal IVF-Flat
+    wide = ivf_pq_topk(
+        emb.filter("vec_id < 20"), emb, k=5, n_cells=8, nprobe=3,
+        ksub=256, rerank=10**6,
+    ).collect()
+    assert sorted(map(tuple, flat)) == sorted(map(tuple, wide))
 
 
 def test_pq_train_parameter_validation(spark, emb):
