@@ -25,11 +25,14 @@ is canonicalized for 10^12 rows. Normalizations applied, in order:
    — but ONLY when the authority carries no explicit port: non-default
    ports name distinct origins per scheme, and rewriting them would
    break idempotence (see below),
-5. strip a leading ``www.`` on either scheme,
+5. strip leading ``www.`` labels on either scheme (ALL of them —
+   ``www.www.host`` must reach the same fixed point in one pass),
 6. remove tracking parameters (``utm_*``, ``fbclid``, ``gclid``) while
    PRESERVING every other query parameter — ``?id=7`` identifies a
    different document, ``?utm_source=rss`` does not,
-7. strip one trailing slash at the end of the path.
+7. strip the run of trailing slashes at the end of the path (the whole
+   run, not one — ``/x//`` must reach ``/x`` in one pass, not via the
+   intermediate ``/x/``).
 
 Deliberately NOT applied (they change identity): path ``..``
 resolution, percent-decoding, query-parameter reordering — documented
@@ -74,8 +77,10 @@ def canonical_url(url: Column) -> Column:
     #    fixed point). Authorities containing ':' (port or userinfo) are
     #    conservatively left on their original scheme.
     u = F.regexp_replace(u, r"^http://([^/:?#]*)([/?#]|$)", r"https://$1$2")
-    # 5. www strip (either scheme — http survives step 4 with a port)
-    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    # 5. www strip (either scheme — http survives step 4 with a port).
+    #    The FULL run of www. labels: a single strip would make
+    #    www.www.host canonicalize differently on a second pass
+    u = F.regexp_replace(u, r"^(https?://)(?:www\.)+", r"$1")
     # 6. tracking params, anchored on the [?&] separator so a parameter
     #    merely ENDING in a tracking name (e.g. ``xutm_source``) is never
     #    clipped: first consume runs of tracking params that are followed
@@ -83,8 +88,9 @@ def canonical_url(url: Column) -> Column:
     #    trailing tracking param together with its separator
     u = F.regexp_replace(u, r"([?&])(?:" + _TRACKING + r"=[^&#]*&)+", r"$1")
     u = F.regexp_replace(u, r"[?&]" + _TRACKING + r"=[^&#]*$", "")
-    # 7. one trailing slash at path end (before query or end-of-string)
-    u = F.regexp_replace(u, r"/([?#]|$)", r"$1")
+    # 7. the run of trailing slashes at path end (before query or
+    #    end-of-string) — the whole run, for the same fixed-point reason
+    u = F.regexp_replace(u, r"/+([?#]|$)", r"$1")
     return u
 
 

@@ -575,9 +575,9 @@ def test_canonical_url_idempotent(spark):
     urls = []
     for scheme, www, port, path, query, frag in itertools.product(
         ["http://", "https://", "HTTP://"],
-        ["", "www.", "WWW."],
+        ["", "www.", "WWW.", "www.www."],
         ["", ":80", ":443", ":8080"],
-        ["", "/", "/Docs/9", "/Docs/9/"],
+        ["", "/", "//", "/Docs/9", "/Docs/9/", "/Docs/9//"],
         ["", "?id=7", "?utm_source=rss", "?id=7&utm_a=1&fbclid=z", "?utm_a=1&utm_b=2"],
         ["", "#frag"],
     ):
