@@ -184,3 +184,95 @@ def test_dedup_cluster_labels_match_union_find(spark, pairs):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(df).collect()}
     assert got == want
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 61))
+@settings(max_examples=80, deadline=None)
+def test_pq_encode_is_batch_split_invariant(seed, split):
+    """pq_encode over a full matrix must equal pq_encode over any split of
+    it — THE invariant that makes the Spark encode kernel's output
+    independent of partitioning / Arrow batch height (cells use argmax,
+    whose first-index tie rule is per-row; every other reduction is an
+    own-buffer sum over dsub elements)."""
+    import numpy as np
+
+    from openllm_ocr_annotator_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.RandomState(seed)
+    mat = rng.normal(size=(62, 16))
+    centroids, codebooks = pq_train(mat[:32], n_cells=4, iters=2, m_sub=4, ksub=8)
+    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cells, codes = pq_encode(mat, cnorm, codebooks)
+    assert codes.min() >= 0 and codes.max() < 8
+    i = split % len(mat)
+    c1, k1 = pq_encode(mat[:i], cnorm, codebooks) if i else (cells[:0], codes[:0])
+    c2, k2 = pq_encode(mat[i:], cnorm, codebooks)
+    assert (np.concatenate([c1, c2]) == cells).all()
+    assert (np.concatenate([k1, k2]) == codes).all()
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_pq_adc_equals_reconstructed_inner_product(seed):
+    """The ADC identity: cell_dot + Σ_m lut[m*ksub+code_m] must equal the
+    direct inner product q̂ · (centroid + decoded residual) — i.e. ADC is
+    EXACT for the quantized reconstruction, approximate only in the
+    quantization itself (Jégou et al. 2011, eq. 12)."""
+    import numpy as np
+
+    from openllm_ocr_annotator_spark.operators.similarity import (
+        pq_encode,
+        pq_query_tables,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(seed)
+    mat = rng.normal(size=(40, 16))
+    centroids, codebooks = pq_train(mat[:24], n_cells=3, iters=2, m_sub=4, ksub=8)
+    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cells, codes = pq_encode(mat, cnorm, codebooks)
+    q = mat[:5]
+    qc, qd, ql = pq_query_tables(q, cnorm, codebooks, nprobe=3)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    for qi in range(len(q)):
+        probed = {int(c): float(qd[qi, p]) for p, c in enumerate(qc[qi])}
+        for xi in range(len(mat)):
+            cell = int(cells[xi])
+            if cell not in probed:
+                continue
+            adc = probed[cell]
+            acc = 0.0
+            for m in range(4):
+                acc = acc + float(ql[qi, m * 8 + int(codes[xi, m])])
+            adc = adc + acc
+            recon = cnorm[cell] + np.concatenate(
+                [codebooks[m][codes[xi, m]] for m in range(4)]
+            )
+            assert np.isclose(adc, float(qn[qi] @ recon), rtol=1e-10, atol=1e-12)
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(2, 64),
+    st.sampled_from([1, 2, 4, 8]),
+)
+@settings(max_examples=120, deadline=None)
+def test_pq_code_packing_roundtrip(seed, ksub, m_sub):
+    """The packed-long transport (encode kernel) and the JVM unpack
+    (shiftright + mask) are inverses for every code vector whenever the
+    bit budget fits — replayed here in numpy with the same bit layout."""
+    import numpy as np
+
+    bpc = max(1, int(ksub - 1).bit_length())
+    if bpc * m_sub > 63:
+        return  # the operator takes the array<int> transport here
+    rng = np.random.RandomState(seed)
+    codes = rng.randint(0, ksub, size=(50, m_sub)).astype(np.int64)
+    shifts = np.int64(1) << (bpc * np.arange(m_sub, dtype=np.int64))
+    packed = (codes * shifts).sum(axis=1)
+    mask = (1 << bpc) - 1
+    unpacked = np.stack(
+        [(packed >> (bpc * m)) & mask for m in range(m_sub)], axis=1
+    )
+    assert (unpacked == codes).all()
+    assert packed.min() >= 0  # sign-safe: never touches bit 63
