@@ -447,7 +447,20 @@ def ivf_pq_topk(
     corpus vectors are touched ONLY for the ≤ Q×rerank rerank join. The
     ADC sum runs JVM-side (transform + element_at + aggregate left fold:
     fixed addition order, whole-stage codegen, bit-reproducible by the
-    pure-Python golden)."""
+    pure-Python golden).
+
+    Sizing rule (measured, tests/test_similarity.py): the code budget
+    must RESOLVE the cosine gaps the ADC has to rank. On tightly
+    clustered corpora the true top-k are same-cluster members whose
+    cosine gaps are ~1e-3, far below the quantization error of the
+    32-bit default — recall at nprobe=2/20 cells, k=10, rerank=40:
+    m_sub×ksub 8×16 (32 bits) 0.26, 8×256 (64 b) 0.32, 16×256 (128 b)
+    0.51, 32×256 (256 b) 0.96, IVF-Flat 1.00; deepening rerank is the
+    cheaper lever when codes stay small (rerank=100 lifts 32-bit to
+    0.54). On spread-out corpora (near-random directions) the default
+    32-bit budget already tracks IVF-Flat. Same knobs and trade-offs as
+    FAISS IVFPQ — pick bits-per-vector by the discrimination scale of
+    the embedding space, not corpus size."""
     if rerank is None:
         rerank = 4 * k
     centroids, codebooks = pq_train(

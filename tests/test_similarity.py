@@ -159,6 +159,49 @@ def test_ivf_pq_degenerates_to_ivf_flat_with_full_rerank(spark, emb):
     assert sorted(map(tuple, flat)) == sorted(map(tuple, wide))
 
 
+def test_ivf_pq_clustered_recall_tracks_code_budget(spark):
+    """The realistic regime (clustered embeddings) and the sizing rule the
+    operator docstring documents: within-cluster cosine gaps (~1e-3) are
+    below the 32-bit default's quantization error, so its ADC cut is
+    nearly arbitrary among same-cluster members — while a 256-bit budget
+    (m_sub=32 × 8-bit) resolves them and tracks IVF-Flat. Pins both ends
+    so a codebook/ADC regression shows up as a recall cliff."""
+    import numpy as np
+
+    from openllm_ocr_annotator_spark.operators.similarity import ivf_pq_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(20, 64)) * 3.0
+    rows = [
+        (i, (centers[i % 20] + rng.normal(size=64) * 0.5).astype(np.float32).tolist())
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    try:
+        exact = brute_force_topk(df.filter("vec_id < 20"), df, k=10).collect()
+        want = {}
+        for r in exact:
+            want.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        def recall(**kw):
+            got = ivf_pq_topk(
+                df.filter("vec_id < 20"), df, k=10, n_cells=20, nprobe=2,
+                rerank=40, **kw,
+            ).collect()
+            sets = {}
+            for r in got:
+                sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+            hits = sum(len(want[q] & sets.get(q, set())) for q in want)
+            return hits / sum(len(v) for v in want.values())
+
+        fine = recall(m_sub=32, ksub=256)  # 256-bit codes resolve the gaps
+        coarse = recall(m_sub=8, ksub=16)  # 32-bit default cannot
+        assert fine >= 0.85, f"fine-code recall {fine:.2f}"
+        assert fine > coarse + 0.3, f"coarse {coarse:.2f} vs fine {fine:.2f}"
+    finally:
+        df.unpersist()
+
+
 def test_pq_train_parameter_validation(spark, emb):
     import numpy as np
 
