@@ -461,22 +461,47 @@ def ivf_pq_topk(
     32-bit budget already tracks IVF-Flat. Same knobs and trade-offs as
     FAISS IVFPQ — pick bits-per-vector by the discrimination scale of
     the embedding space, not corpus size."""
-    if rerank is None:
-        rerank = 4 * k
     centroids, codebooks = pq_train(
         bounded_sample(corpus, sample_rows, id_col, vec_col),
         n_cells, iters, m_sub, ksub, pq_iters,
     )
-    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    index = pq_index(corpus, centroids, codebooks, id_col, vec_col)
+    return ivf_pq_search(
+        queries, index, corpus, centroids, codebooks,
+        k=k, nprobe=nprobe, rerank=rerank, id_col=id_col, vec_col=vec_col,
+    )
 
-    # codes transport: ksub codewords need ceil(log2(ksub)) bits each, so
-    # at the defaults (16×8 = 32 bits) ALL codes pack into one LONG and
-    # the index row is (id, cell, packed) = 24 fixed bytes — the 10^12-row
-    # shuffle/storage shape PQ exists for. Wide configs (e.g. 8-bit × 8
-    # subquantizers = 64 bits, sign-unsafe in an int64) fall back to
-    # array<int>; both unpack/score purely JVM-side.
+
+def _code_bits(ksub: int, m_sub: int) -> tuple[int, bool]:
+    """(bits_per_code, fits_in_one_long) for a PQ code vector. Codewords
+    need ceil(log2(ksub)) bits each; at the defaults (16×8 = 32 bits) all
+    codes pack into one LONG and the index row is (id, cell, packed) = 24
+    fixed bytes — the 10^12-row shuffle/storage shape PQ exists for. Wide
+    configs (e.g. 8-bit × 8 subquantizers = 64 bits, sign-unsafe in an
+    int64) take the array<int> transport instead."""
     bpc = max(1, int(ksub - 1).bit_length())
-    packed = bpc * m_sub <= 63
+    return bpc, bpc * m_sub <= 63
+
+
+def pq_index(
+    vectors: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a TRAINED quantizer into the persistable PQ
+    index relation ``(vec_id, cell, codes)`` — one narrow Arrow pass, no
+    shuffle. ``codes`` is a packed long when the bit budget fits
+    (``_code_bits``), else ``array<int>``.
+
+    This is the append side of the train-once/add-forever index
+    lifecycle: train the quantizer ON THE FIRST increment's bounded
+    sample, commit these rows (e.g. ``SnapshotTable.commit``), and each
+    later ingest encodes ONLY its new vectors — encoding is batch-split
+    invariant (property-pinned), so incremental unions are row-identical
+    to a one-shot encode and history is never re-read. Search the
+    committed union with ``ivf_pq_search``."""
+    m_sub, ksub, _ = codebooks.shape
+    bpc, packed = _code_bits(ksub, m_sub)
+    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     def encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         shifts = np.int64(1) << (bpc * np.arange(m_sub, dtype=np.int64))
@@ -486,7 +511,7 @@ def ivf_pq_topk(
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             cells, codes = pq_encode(mat, cnorm, codebooks)
             out = {
-                "neighbor_id": pdf[id_col].to_numpy(),
+                "vec_id": pdf[id_col].to_numpy(),
                 "cell": cells.astype(np.int64),
             }
             if packed:
@@ -494,6 +519,34 @@ def ivf_pq_topk(
             else:
                 out["codes"] = list(codes)
             yield pd.DataFrame(out)
+
+    return spread_partitions(vectors.select(id_col, vec_col), id_col).mapInPandas(
+        encode_kernel,
+        schema=f"vec_id long, cell long, codes {'long' if packed else 'array<int>'}",
+    )
+
+
+def ivf_pq_search(
+    queries: DataFrame, index: DataFrame, corpus: DataFrame,
+    centroids: np.ndarray, codebooks: np.ndarray,
+    k: int = 5, nprobe: int = 4, rerank: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a PREBUILT ``(vec_id, cell, codes)`` PQ index —
+    the search half of ``ivf_pq_topk``, accepting an index that may be
+    freshly encoded, read back from a committed snapshot table, or an
+    incremental union of both. The codes transport (packed long vs
+    array<int>) is detected from the index schema, so a parquet
+    round-trip needs no flags. ``corpus`` supplies raw vectors for the
+    exact rerank only."""
+    from pyspark.sql.types import LongType
+
+    if rerank is None:
+        rerank = 4 * k
+    m_sub, ksub, _ = codebooks.shape
+    bpc, _ = _code_bits(ksub, m_sub)
+    packed = isinstance(index.schema["codes"].dataType, LongType)
+    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     def query_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -511,10 +564,7 @@ def ivf_pq_topk(
                 }
             )
 
-    cb = spread_partitions(corpus.select(id_col, vec_col), id_col).mapInPandas(
-        encode_kernel,
-        schema=f"neighbor_id long, cell long, codes {'long' if packed else 'array<int>'}",
-    )
+    cb = index.select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
     qb = queries.select(id_col, vec_col).mapInPandas(
         query_kernel,
         schema="query_id long, cell long, cell_dot double, lut array<double>",
@@ -549,6 +599,55 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)
+
+
+def pq_save(path: str, centroids: np.ndarray, codebooks: np.ndarray) -> None:
+    """Persist a trained quantizer as one small parquet file (driver-side
+    — the quantizer is bounded by design). Row layout: kind='centroid'
+    rows carry (idx=cell, sub=-1, values=centroid); kind='codebook' rows
+    carry (idx=codeword, sub=subspace, values=codeword vector). float64
+    columns round-trip bit-exactly, so a reloaded quantizer reproduces
+    every index code and ADC score."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    kinds, idxs, subs, vals = [], [], [], []
+    for i, c in enumerate(centroids):
+        kinds.append("centroid"); idxs.append(i); subs.append(-1)
+        vals.append([float(x) for x in c])
+    m_sub, ksub, _ = codebooks.shape
+    for m in range(m_sub):
+        for j in range(ksub):
+            kinds.append("codebook"); idxs.append(j); subs.append(m)
+            vals.append([float(x) for x in codebooks[m][j]])
+    papq.write_table(
+        pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "idx": pa.array(idxs, pa.int32()),
+                "sub": pa.array(subs, pa.int32()),
+                "values": pa.array(vals, pa.list_(pa.float64())),
+            }
+        ),
+        path,
+    )
+
+
+def pq_load(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Reload a quantizer persisted by ``pq_save`` — exact inverse."""
+    import pyarrow.parquet as papq
+
+    t = papq.read_table(path).to_pylist()
+    cents = sorted((r for r in t if r["kind"] == "centroid"), key=lambda r: r["idx"])
+    centroids = np.array([r["values"] for r in cents], dtype=np.float64)
+    cbs = [r for r in t if r["kind"] == "codebook"]
+    m_sub = max(r["sub"] for r in cbs) + 1
+    ksub = max(r["idx"] for r in cbs) + 1
+    dsub = len(cbs[0]["values"])
+    codebooks = np.empty((m_sub, ksub, dsub), dtype=np.float64)
+    for r in cbs:
+        codebooks[r["sub"], r["idx"]] = r["values"]
+    return centroids, codebooks
 
 
 def embedding_near_dups(

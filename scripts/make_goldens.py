@@ -418,47 +418,63 @@ from openllm_ocr_annotator_spark.operators.similarity import (  # noqa: E402
 )
 
 M_SUB, KSUB, NPROBE_PQ, RERANK_PQ = 8, 16, 4, 20
-pq_centroids, pq_codebooks = pq_train(mat_all[:4096], 16, 2, M_SUB, KSUB, 2)
-pq_cnorm = pq_centroids / np.linalg.norm(pq_centroids, axis=1, keepdims=True)
-pq_cells, pq_codes = pq_encode(mat_all, pq_cnorm, pq_codebooks)
-pq_members: dict[int, list[int]] = {}
-for i, c in enumerate(pq_cells):
-    pq_members.setdefault(int(c), []).append(i)
-qc, qd, ql = pq_query_tables(mat_all[q_rows_idx], pq_cnorm, pq_codebooks, NPROBE_PQ)
-ivfpq_rows = []
-for row, qi in enumerate(q_rows_idx):
-    qid = ids_sorted[qi]
-    cands = []
-    for pi in range(qc.shape[1]):
-        cell_dot = float(qd[row, pi])
-        for n_idx in pq_members.get(int(qc[row, pi]), []):
-            nid = ids_sorted[n_idx]
-            if nid == qid:
-                continue
-            acc = 0.0  # Spark aggregate's left fold, same order
-            for m in range(M_SUB):
-                acc = acc + float(ql[row, m * KSUB + int(pq_codes[n_idx, m])])
-            cands.append((nid, cell_dot + acc))
-    cands.sort(key=lambda t: (-t[1], t[0]))  # adc desc, neighbor_id asc
-    qv = vecs[qid]
-    qn = _fold_norm(qv)
-    scored = [(n, _fold_dot(qv, vecs[n]) / (qn * _fold_norm(vecs[n])))
-              for n, _ in cands[:RERANK_PQ]]
-    scored.sort(key=lambda t: (-t[1], t[0]))
-    for rank, (n, cos) in enumerate(scored[:5], start=1):
-        ivfpq_rows.append((qid, n, rank, round(cos, 6)))
-pq.write_table(
-    pa.table(
-        {
-            "query_id": pa.array([r[0] for r in ivfpq_rows], pa.int64()),
-            "neighbor_id": pa.array([r[1] for r in ivfpq_rows], pa.int64()),
-            "rank": pa.array([r[2] for r in ivfpq_rows], pa.int32()),
-            "cosine": pa.array([r[3] for r in ivfpq_rows], pa.float64()),
-        }
-    ),
-    os.path.join(OUT_DIR, "similarity_ivf_pq_topk.parquet"),
-)
-print(f"golden extra: {len(ivfpq_rows)} ivf-pq-topk rows")
+
+
+def _pq_golden(train_mat, out_name):
+    """One IVFADC replay: train on the given sample, one-shot encode the
+    full corpus (≡ any incremental union, by pq_encode's pinned
+    batch-split invariance), ADC + rerank, write the golden parquet."""
+    pq_centroids, pq_codebooks = pq_train(train_mat, 16, 2, M_SUB, KSUB, 2)
+    pq_cnorm = pq_centroids / np.linalg.norm(pq_centroids, axis=1, keepdims=True)
+    pq_cells, pq_codes = pq_encode(mat_all, pq_cnorm, pq_codebooks)
+    pq_members: dict[int, list[int]] = {}
+    for i, c in enumerate(pq_cells):
+        pq_members.setdefault(int(c), []).append(i)
+    qc, qd, ql = pq_query_tables(
+        mat_all[q_rows_idx], pq_cnorm, pq_codebooks, NPROBE_PQ
+    )
+    out_rows = []
+    for row, qi in enumerate(q_rows_idx):
+        qid = ids_sorted[qi]
+        cands = []
+        for pi in range(qc.shape[1]):
+            cell_dot = float(qd[row, pi])
+            for n_idx in pq_members.get(int(qc[row, pi]), []):
+                nid = ids_sorted[n_idx]
+                if nid == qid:
+                    continue
+                acc = 0.0  # Spark's left-fold/expression-chain order
+                for m in range(M_SUB):
+                    acc = acc + float(ql[row, m * KSUB + int(pq_codes[n_idx, m])])
+                cands.append((nid, cell_dot + acc))
+        cands.sort(key=lambda t: (-t[1], t[0]))  # adc desc, neighbor_id asc
+        qv = vecs[qid]
+        qn = _fold_norm(qv)
+        scored = [(n, _fold_dot(qv, vecs[n]) / (qn * _fold_norm(vecs[n])))
+                  for n, _ in cands[:RERANK_PQ]]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (n, cos) in enumerate(scored[:5], start=1):
+            out_rows.append((qid, n, rank, round(cos, 6)))
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in out_rows], pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in out_rows], pa.int64()),
+                "rank": pa.array([r[2] for r in out_rows], pa.int32()),
+                "cosine": pa.array([r[3] for r in out_rows], pa.float64()),
+            }
+        ),
+        os.path.join(OUT_DIR, f"{out_name}.parquet"),
+    )
+    return len(out_rows)
+
+
+n_pq = _pq_golden(mat_all[:4096], "similarity_ivf_pq_topk")
+# incremental lifecycle: quantizer trained on the FIRST increment only
+# (vec_id < 250 = the 250 lowest sorted ids); the one-shot encode above
+# the rerank equals the two-increment union by batch-split invariance
+n_pqi = _pq_golden(mat_all[:250], "similarity_pq_incremental")
+print(f"golden extra: {n_pq} ivf-pq-topk rows, {n_pqi} pq-incremental rows")
 
 # ---------------------------------------------------------------------------
 # Global lineage golden: (doc_count, span_count, checksum) where checksum =

@@ -202,6 +202,53 @@ def test_ivf_pq_clustered_recall_tracks_code_budget(spark):
         df.unpersist()
 
 
+def test_pq_index_lifecycle_incremental_equals_batch(spark, emb, tmp_path):
+    """Train-once/add-forever: with the quantizer trained on the FIRST
+    increment, (a) encoding increments separately yields row-for-row the
+    one-shot index; (b) committing both increments to a SnapshotTable and
+    searching the read-back index (parquet round-trip — packed-long codes
+    survive, transport auto-detected from the schema) equals searching the
+    in-memory union; (c) pq_save/pq_load round-trips the quantizer
+    bit-exactly."""
+    import numpy as np
+
+    from openllm_ocr_annotator_spark.operators.similarity import (
+        bounded_sample,
+        ivf_pq_search,
+        pq_index,
+        pq_load,
+        pq_save,
+        pq_train,
+    )
+    from openllm_ocr_annotator_spark.sources.tables import SnapshotTable
+
+    first = emb.filter("vec_id < 250")
+    second = emb.filter("vec_id >= 250")
+    centroids, codebooks = pq_train(bounded_sample(first), 8, 2, 8, 16)
+    # (c) quantizer persistence is exact
+    qpath = str(tmp_path / "quantizer.parquet")
+    pq_save(qpath, centroids, codebooks)
+    c2, cb2 = pq_load(qpath)
+    assert (c2 == centroids).all() and (cb2 == codebooks).all()
+    # (a) incremental union == one-shot encode (batch-split invariance e2e)
+    inc = pq_index(first, centroids, codebooks).unionByName(
+        pq_index(second, centroids, codebooks)
+    )
+    batch = pq_index(emb, centroids, codebooks)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, batch.collect()))
+    # (b) committed index round-trip searches identically
+    table = SnapshotTable(spark, str(tmp_path / "pq_index_table"))
+    table.commit(pq_index(first, c2, cb2))
+    table.commit(pq_index(second, c2, cb2))
+    committed = table.read_committed()
+    q = emb.filter("vec_id < 10")
+    direct = ivf_pq_search(q, inc, emb, centroids, codebooks, k=5, nprobe=3).collect()
+    via_table = ivf_pq_search(q, committed, emb, c2, cb2, k=5, nprobe=3).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_table))
+    assert len(direct) == 50
+    del np
+
+
 def test_pq_train_parameter_validation(spark, emb):
     import numpy as np
 
