@@ -18,7 +18,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._common import spread_partitions
@@ -488,8 +488,10 @@ def pq_index(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode vectors against a TRAINED quantizer into the persistable PQ
-    index relation ``(vec_id, cell, codes)`` — one narrow Arrow pass, no
-    shuffle. ``codes`` is a packed long when the bit budget fits
+    index relation ``(vec_id, cell, codes)`` — one cheap spread
+    repartition (``spread_partitions`` exchanges when the input has fewer
+    splits than the session shuffle width) followed by one narrow Arrow
+    pass. ``codes`` is a packed long when the bit budget fits
     (``_code_bits``), else ``array<int>``.
 
     This is the append side of the train-once/add-forever index
@@ -498,7 +500,14 @@ def pq_index(
     later ingest encodes ONLY its new vectors — encoding is batch-split
     invariant (property-pinned), so incremental unions are row-identical
     to a one-shot encode and history is never re-read. Search the
-    committed union with ``ivf_pq_search``."""
+    committed union with ``ivf_pq_search``.
+
+    The index is keyed by ``vec_id`` and must stay UNIQUE per id: gate
+    re-ingests with ``SnapshotTable.resume_filter`` (or commit ``keys``)
+    so a retried batch is not encoded twice. ``ivf_pq_search`` collapses
+    duplicate candidates before the rerank, so a violated precondition
+    degrades recall (duplicates crowd the ADC cut) rather than producing
+    duplicate ranks."""
     m_sub, ksub, _ = codebooks.shape
     bpc, packed = _code_bits(ksub, m_sub)
     cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -537,15 +546,26 @@ def ivf_pq_search(
     freshly encoded, read back from a committed snapshot table, or an
     incremental union of both. The codes transport (packed long vs
     array<int>) is detected from the index schema, so a parquet
-    round-trip needs no flags. ``corpus`` supplies raw vectors for the
-    exact rerank only."""
+    round-trip needs no flags — and cross-checked against the quantizer:
+    an index whose transport disagrees with what ``pq_index`` would emit
+    for these codebooks was built with a DIFFERENT quantizer, and
+    unpacking it at the wrong bit stride would silently corrupt every
+    ADC score, so that mismatch raises instead. ``corpus`` supplies raw
+    vectors for the exact rerank only."""
     from pyspark.sql.types import LongType
 
     if rerank is None:
         rerank = 4 * k
     m_sub, ksub, _ = codebooks.shape
-    bpc, _ = _code_bits(ksub, m_sub)
+    bpc, packable = _code_bits(ksub, m_sub)
     packed = isinstance(index.schema["codes"].dataType, LongType)
+    if packed != packable:
+        raise ValueError(
+            f"index codes transport ({'packed long' if packed else 'array<int>'}) "
+            f"does not match this quantizer (m_sub={m_sub}, ksub={ksub} -> "
+            f"{'packable' if packable else 'not packable'}): the index was "
+            "built with a different quantizer"
+        )
     cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     def query_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -596,54 +616,70 @@ def ivf_pq_search(
         .select("query_id", "neighbor_id", adc.alias("adc"))
         .withColumn("adc_rank", F.row_number().over(w))
         .filter(F.col("adc_rank") <= rerank)
+        # collapse duplicate candidates (a violated vec_id-uniqueness
+        # precondition — e.g. a batch committed twice) BEFORE the rerank,
+        # so a duplicated neighbor can never hold two final ranks; cost is
+        # a distinct over ≤ Q×rerank rows, not the candidate fan-out
         .select("query_id", "neighbor_id")
+        .distinct()
     )
     return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)
 
 
-def pq_save(path: str, centroids: np.ndarray, codebooks: np.ndarray) -> None:
-    """Persist a trained quantizer as one small parquet file (driver-side
-    — the quantizer is bounded by design). Row layout: kind='centroid'
-    rows carry (idx=cell, sub=-1, values=centroid); kind='codebook' rows
-    carry (idx=codeword, sub=subspace, values=codeword vector). float64
-    columns round-trip bit-exactly, so a reloaded quantizer reproduces
-    every index code and ADC score."""
-    import pyarrow as pa
-    import pyarrow.parquet as papq
-
-    kinds, idxs, subs, vals = [], [], [], []
-    for i, c in enumerate(centroids):
-        kinds.append("centroid"); idxs.append(i); subs.append(-1)
-        vals.append([float(x) for x in c])
+def pq_save(
+    spark: SparkSession, path: str,
+    centroids: np.ndarray, codebooks: np.ndarray,
+) -> None:
+    """Persist a trained quantizer as one small parquet directory THROUGH
+    Spark's Hadoop filesystem — the same storage layer ``SnapshotTable``
+    commits the code rows to, so the two halves of a committed index stay
+    co-located on cluster storage (S3/HDFS roots work; a driver-local
+    pyarrow write would strand the quantizer — which every future
+    increment must reuse — on one driver's disk). Row layout:
+    kind='centroid' rows carry (idx=cell, sub=-1, values=centroid);
+    kind='codebook' rows carry (idx=codeword, sub=subspace,
+    values=codeword vector). float64 columns round-trip bit-exactly, so
+    a reloaded quantizer reproduces every index code and ADC score."""
+    rows = [
+        ("centroid", i, -1, [float(x) for x in c])
+        for i, c in enumerate(centroids)
+    ]
     m_sub, ksub, _ = codebooks.shape
-    for m in range(m_sub):
-        for j in range(ksub):
-            kinds.append("codebook"); idxs.append(j); subs.append(m)
-            vals.append([float(x) for x in codebooks[m][j]])
-    papq.write_table(
-        pa.table(
-            {
-                "kind": pa.array(kinds, pa.string()),
-                "idx": pa.array(idxs, pa.int32()),
-                "sub": pa.array(subs, pa.int32()),
-                "values": pa.array(vals, pa.list_(pa.float64())),
-            }
-        ),
-        path,
-    )
+    rows += [
+        ("codebook", j, m, [float(x) for x in codebooks[m][j]])
+        for m in range(m_sub)
+        for j in range(ksub)
+    ]
+    spark.createDataFrame(
+        rows, "kind string, idx int, sub int, values array<double>"
+    ).coalesce(1).write.mode("errorifexists").parquet(path)
 
 
-def pq_load(path: str) -> tuple[np.ndarray, np.ndarray]:
-    """Reload a quantizer persisted by ``pq_save`` — exact inverse."""
-    import pyarrow.parquet as papq
-
-    t = papq.read_table(path).to_pylist()
+def pq_load(spark: SparkSession, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Reload a quantizer persisted by ``pq_save`` — exact inverse, with
+    the completeness checks a train-once artifact deserves: a truncated
+    or foreign file raises a named ValueError instead of leaving
+    uninitialized codebook slots that would silently corrupt every
+    subsequent encode."""
+    t = [r.asDict() for r in spark.read.parquet(path).collect()]
     cents = sorted((r for r in t if r["kind"] == "centroid"), key=lambda r: r["idx"])
-    centroids = np.array([r["values"] for r in cents], dtype=np.float64)
     cbs = [r for r in t if r["kind"] == "codebook"]
+    if not cents or not cbs:
+        raise ValueError(f"corrupt quantizer file {path}: missing centroid/codebook rows")
+    if [r["idx"] for r in cents] != list(range(len(cents))):
+        raise ValueError(f"corrupt quantizer file {path}: non-contiguous centroid ids")
+    centroids = np.array([r["values"] for r in cents], dtype=np.float64)
     m_sub = max(r["sub"] for r in cbs) + 1
     ksub = max(r["idx"] for r in cbs) + 1
     dsub = len(cbs[0]["values"])
+    seen = {(r["sub"], r["idx"]) for r in cbs}
+    if len(cbs) != m_sub * ksub or len(seen) != m_sub * ksub:
+        raise ValueError(
+            f"corrupt quantizer file {path}: expected {m_sub * ksub} codebook "
+            f"rows (m_sub={m_sub} × ksub={ksub}), found {len(cbs)} ({len(seen)} distinct)"
+        )
+    if any(len(r["values"]) != dsub for r in cbs):
+        raise ValueError(f"corrupt quantizer file {path}: ragged codeword widths")
     codebooks = np.empty((m_sub, ksub, dsub), dtype=np.float64)
     for r in cbs:
         codebooks[r["sub"], r["idx"]] = r["values"]

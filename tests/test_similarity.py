@@ -210,8 +210,6 @@ def test_pq_index_lifecycle_incremental_equals_batch(spark, emb, tmp_path):
     survive, transport auto-detected from the schema) equals searching the
     in-memory union; (c) pq_save/pq_load round-trips the quantizer
     bit-exactly."""
-    import numpy as np
-
     from openllm_ocr_annotator_spark.operators.similarity import (
         bounded_sample,
         ivf_pq_search,
@@ -225,10 +223,11 @@ def test_pq_index_lifecycle_incremental_equals_batch(spark, emb, tmp_path):
     first = emb.filter("vec_id < 250")
     second = emb.filter("vec_id >= 250")
     centroids, codebooks = pq_train(bounded_sample(first), 8, 2, 8, 16)
-    # (c) quantizer persistence is exact
+    # (c) quantizer persistence is exact (through Spark's Hadoop FS — the
+    # same storage layer the SnapshotTable index rows land on)
     qpath = str(tmp_path / "quantizer.parquet")
-    pq_save(qpath, centroids, codebooks)
-    c2, cb2 = pq_load(qpath)
+    pq_save(spark, qpath, centroids, codebooks)
+    c2, cb2 = pq_load(spark, qpath)
     assert (c2 == centroids).all() and (cb2 == codebooks).all()
     # (a) incremental union == one-shot encode (batch-split invariance e2e)
     inc = pq_index(first, centroids, codebooks).unionByName(
@@ -246,7 +245,41 @@ def test_pq_index_lifecycle_incremental_equals_batch(spark, emb, tmp_path):
     via_table = ivf_pq_search(q, committed, emb, c2, cb2, k=5, nprobe=3).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_table))
     assert len(direct) == 50
-    del np
+
+
+def test_pq_search_guards_quantizer_index_mismatch(spark, emb, tmp_path):
+    """A packed-long index searched with a quantizer whose bit budget says
+    array-transport (or vice versa) was built with a DIFFERENT quantizer;
+    unpacking at the wrong stride would silently corrupt every ADC score,
+    so the mismatch raises. Likewise a truncated quantizer file raises a
+    named error instead of leaving uninitialized codebook slots."""
+    from openllm_ocr_annotator_spark.operators.similarity import (
+        bounded_sample,
+        ivf_pq_search,
+        pq_index,
+        pq_load,
+        pq_save,
+        pq_train,
+    )
+
+    vecs = emb.filter("vec_id < 100")
+    centroids, codebooks = pq_train(bounded_sample(vecs), 4, 1, m_sub=8, ksub=16)
+    index = pq_index(vecs, centroids, codebooks)  # packed long at 4×8 bits
+    # a quantizer on the OTHER side of the 63-bit packing boundary
+    # (4 bits × 16 subspaces = 64 bits -> array transport expected)
+    _, wide_codebooks = pq_train(bounded_sample(vecs), 4, 1, m_sub=16, ksub=16)
+    with pytest.raises(ValueError, match="different quantizer"):
+        ivf_pq_search(vecs.limit(3), index, vecs, centroids, wide_codebooks)
+    # corrupt persistence: drop one codebook row -> named error on load
+    qpath = str(tmp_path / "q.parquet")
+    pq_save(spark, qpath, centroids, codebooks)
+    truncated = spark.read.parquet(qpath).filter(
+        "NOT (kind = 'codebook' AND sub = 3 AND idx = 7)"
+    )
+    tpath = str(tmp_path / "q_truncated.parquet")
+    truncated.write.parquet(tpath)
+    with pytest.raises(ValueError, match="corrupt quantizer"):
+        pq_load(spark, tpath)
 
 
 def test_pq_train_parameter_validation(spark, emb):
