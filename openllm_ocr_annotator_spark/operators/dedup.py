@@ -844,6 +844,7 @@ def decontaminate(
 def contamination_score(
     train: DataFrame, benchmark: DataFrame, n: int = 5,
     id_col: str = "doc_id", text_col: str = "text",
+    caches: list | None = None,
 ) -> DataFrame:
     """Graded benchmark contamination: for each training document, the
     fraction of its DISTINCT word n-grams that appear anywhere in the
@@ -860,27 +861,46 @@ def contamination_score(
     groupBy only aggregates the semi-join *survivors* (benchmark-matched
     grams — tiny for a clean corpus); benchmark grams are distinct and
     broadcast when small. One explode, one semi-join, one doc-keyed count,
-    one doc-keyed left join.
+    one doc-keyed left join. The per-doc (id, total, gram-hash array)
+    relation is PERSISTED because both the totals branch and the hits
+    branch consume it — unpersisted, the split→transform→array_distinct
+    gram kernel (the dominant cost) runs twice over the full corpus.
+    Cache ownership follows ``ngram_jaccard_pairs``: pass ``caches=[]``
+    to receive the persisted frame and unpersist after consumption.
+
+    Grams are hashed to int64 (``xxhash64``) right after construction, so
+    the semi-join exchanges/broadcasts 8-byte keys instead of n-word
+    strings. A 2⁻⁶⁴-per-pair hash collision could count a miss as a hit;
+    at any realistic benchmark size that is below float noise in the
+    returned fraction — same trade ``ngram_jaccard_pairs`` documents for
+    its ``max_df`` scale path.
     """
+    from pyspark import StorageLevel
+
     grams = ngram_tokens(F.col(text_col), n)
     tg = train.select(
         F.col(id_col),
-        F.filter(grams, lambda g: g != "").alias("_grams"),
-    )
+        F.transform(
+            F.filter(grams, lambda g: g != ""), lambda g: F.xxhash64(g)
+        ).alias("_gh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = tg.select(
-        id_col, F.size("_grams").cast("bigint").alias("total_grams")
+        id_col, F.size("_gh").cast("bigint").alias("total_grams")
     )
     bg = (
         benchmark.select(F.explode(ngram_tokens(F.col(text_col), n)).alias("g"))
         .filter(F.col("g") != "")
+        .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
     hits = (
-        tg.select(F.col(id_col), F.explode("_grams").alias("g"))
-        .join(bg, "g", "left_semi")
+        tg.select(F.col(id_col), F.explode("_gh").alias("gh"))
+        .join(bg, "gh", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("hit_grams"))
     )
+    if caches is not None:
+        caches.append(tg)
     return (
         totals.join(hits, id_col, "left")
         .withColumn("hit_grams", F.coalesce(F.col("hit_grams"), F.lit(0).cast("bigint")))

@@ -252,7 +252,15 @@ def assign_cells(
 def lloyd_centroids(sample: np.ndarray, n_cells: int, iters: int) -> np.ndarray:
     """Deterministic numpy Lloyd over a training sample: init = first
     ``n_cells`` rows, then ``iters`` assign/mean rounds (empty cell keeps
-    its centroid). Pure function — also the golden-generation twin."""
+    its centroid). Raises when the sample is smaller than ``n_cells`` —
+    slicing would otherwise silently train fewer coarse cells than
+    requested (same explicit-validation style as ``_lloyd_l2``'s ksub
+    check). Pure function — also the golden-generation twin."""
+    if len(sample) < n_cells:
+        raise ValueError(
+            f"coarse quantizer training sample ({len(sample)}) smaller "
+            f"than n_cells ({n_cells})"
+        )
     centroids = sample[:n_cells].copy()
     for _ in range(iters):
         cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -277,6 +285,10 @@ def bounded_sample(
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "quantizer training sample is empty: the corpus has no rows"
+        )
     return np.stack([np.asarray(r.v, dtype=np.float64) for r in sample])
 
 
@@ -472,6 +484,24 @@ def ivf_pq_topk(
     )
 
 
+def _pq_fingerprint(centroids: np.ndarray, codebooks: np.ndarray) -> str:
+    """Content fingerprint of a trained quantizer (shape + float64 bytes,
+    sha256/16 hex). Stamped onto the index's ``codes`` column metadata by
+    ``pq_index`` and verified by ``ivf_pq_search``, so an index searched
+    with a quantizer other than the one that encoded it raises instead of
+    silently mis-unpacking — including same-transport mismatches (e.g.
+    5-bit vs 4-bit strides that are BOTH packed longs), which the
+    structural packability check alone cannot see. Deterministic across
+    save/load: ``pq_save`` round-trips float64 bit-exactly."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.int64(centroids.shape + codebooks.shape).tobytes())
+    h.update(np.ascontiguousarray(centroids, dtype=np.float64).tobytes())
+    h.update(np.ascontiguousarray(codebooks, dtype=np.float64).tobytes())
+    return h.hexdigest()[:16]
+
+
 def _code_bits(ksub: int, m_sub: int) -> tuple[int, bool]:
     """(bits_per_code, fits_in_one_long) for a PQ code vector. Codewords
     need ceil(log2(ksub)) bits each; at the defaults (16×8 = 32 bits) all
@@ -532,6 +562,12 @@ def pq_index(
     return spread_partitions(vectors.select(id_col, vec_col), id_col).mapInPandas(
         encode_kernel,
         schema=f"vec_id long, cell long, codes {'long' if packed else 'array<int>'}",
+    ).withMetadata(
+        # quantizer identity rides the schema, not the rows: survives
+        # parquet round-trips (SnapshotTable commits), unions of
+        # increments, and projections — zero bytes per row
+        "codes", {"pq_m_sub": m_sub, "pq_ksub": ksub,
+                  "pq_fp": _pq_fingerprint(centroids, codebooks)},
     )
 
 
@@ -566,6 +602,22 @@ def ivf_pq_search(
             f"{'packable' if packable else 'not packable'}): the index was "
             "built with a different quantizer"
         )
+    meta = index.schema["codes"].metadata or {}
+    if "pq_fp" in meta:
+        # the strong check: the stamped identity must be THIS quantizer.
+        # Catches same-transport mismatches the structural check above
+        # cannot (e.g. a 5-bit-stride index searched at a 4-bit stride —
+        # both packed longs, every ADC score silently wrong otherwise).
+        fp = _pq_fingerprint(centroids, codebooks)
+        if (meta.get("pq_m_sub"), meta.get("pq_ksub"), meta["pq_fp"]) != (
+            m_sub, ksub, fp
+        ):
+            raise ValueError(
+                f"index was encoded by a different quantizer (index "
+                f"m_sub={meta.get('pq_m_sub')}, ksub={meta.get('pq_ksub')}, "
+                f"fp={meta['pq_fp']}; search quantizer m_sub={m_sub}, "
+                f"ksub={ksub}, fp={fp})"
+            )
     cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     def query_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -673,10 +725,16 @@ def pq_load(spark: SparkSession, path: str) -> tuple[np.ndarray, np.ndarray]:
     ksub = max(r["idx"] for r in cbs) + 1
     dsub = len(cbs[0]["values"])
     seen = {(r["sub"], r["idx"]) for r in cbs}
-    if len(cbs) != m_sub * ksub or len(seen) != m_sub * ksub:
+    # full-grid equality, not count/distinctness: negative sub/idx values
+    # (e.g. sub ∈ {-1, 1}) satisfy count checks yet index the numpy array
+    # from the END, leaving a slot as uninitialized np.empty garbage — the
+    # exact silent corruption this loader exists to refuse
+    grid = {(s, i) for s in range(m_sub) for i in range(ksub)}
+    if len(cbs) != m_sub * ksub or seen != grid:
         raise ValueError(
-            f"corrupt quantizer file {path}: expected {m_sub * ksub} codebook "
-            f"rows (m_sub={m_sub} × ksub={ksub}), found {len(cbs)} ({len(seen)} distinct)"
+            f"corrupt quantizer file {path}: expected the full codebook grid "
+            f"range({m_sub})×range({ksub}) exactly once, found {len(cbs)} rows "
+            f"covering {len(seen & grid)} grid cells"
         )
     if any(len(r["values"]) != dsub for r in cbs):
         raise ValueError(f"corrupt quantizer file {path}: ragged codeword widths")

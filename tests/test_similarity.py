@@ -282,6 +282,90 @@ def test_pq_search_guards_quantizer_index_mismatch(spark, emb, tmp_path):
         pq_load(spark, tpath)
 
 
+def test_pq_search_guards_same_transport_stride_mismatch(spark, emb, tmp_path):
+    """Two quantizers can BOTH take the packed-long transport yet differ in
+    bit stride (5-bit codes at ksub=32 vs 4-bit at ksub=16): the structural
+    packability check passes, so only the schema-stamped quantizer
+    fingerprint catches it — wrong-stride unpacking would silently corrupt
+    every ADC score. The stamp must survive a SnapshotTable parquet commit
+    (identity rides column metadata, not rows)."""
+    from openllm_ocr_annotator_spark.operators.similarity import (
+        bounded_sample,
+        ivf_pq_search,
+        pq_index,
+        pq_train,
+    )
+    from openllm_ocr_annotator_spark.sources.tables import SnapshotTable
+
+    vecs = emb.filter("vec_id < 100")
+    c5, cb5 = pq_train(bounded_sample(vecs), 4, 1, m_sub=8, ksub=32)  # 5-bit
+    c4, cb4 = pq_train(bounded_sample(vecs), 4, 1, m_sub=8, ksub=16)  # 4-bit
+    index = pq_index(vecs, c5, cb5)
+    assert index.schema["codes"].metadata.get("pq_ksub") == 32
+    with pytest.raises(ValueError, match="different quantizer"):
+        ivf_pq_search(vecs.limit(3), index, vecs, c4, cb4)
+    # identity survives the committed-parquet round trip and still guards
+    table = SnapshotTable(spark, str(tmp_path / "stride_idx"))
+    table.commit(index)
+    committed = table.read_committed()
+    assert committed.schema["codes"].metadata.get("pq_fp") == \
+        index.schema["codes"].metadata["pq_fp"]
+    with pytest.raises(ValueError, match="different quantizer"):
+        ivf_pq_search(vecs.limit(3), committed, vecs, c4, cb4)
+    # and the RIGHT quantizer still searches the committed index fine
+    assert ivf_pq_search(
+        vecs.limit(3), committed, vecs, c5, cb5, k=3, nprobe=2
+    ).count() == 9
+
+
+def test_pq_load_refuses_negative_grid_indices(spark, emb, tmp_path):
+    """Codebook rows with negative sub/idx satisfy count+distinctness
+    (max+1 arithmetic) yet would write codebooks[-1] over the last slot and
+    leave slot 0 as np.empty garbage — pq_load's full-grid check refuses."""
+    from openllm_ocr_annotator_spark.operators.similarity import (
+        bounded_sample,
+        pq_load,
+        pq_save,
+        pq_train,
+    )
+
+    vecs = emb.filter("vec_id < 50")
+    centroids, codebooks = pq_train(bounded_sample(vecs), 4, 1, m_sub=2, ksub=4)
+    qpath = str(tmp_path / "q_ok.parquet")
+    pq_save(spark, qpath, centroids, codebooks)
+    # rewrite sub 0 -> -1: still 8 rows, 8 distinct (sub,idx), m_sub still 2
+    evil = spark.read.parquet(qpath).selectExpr(
+        "kind", "idx",
+        "CASE WHEN kind = 'codebook' AND sub = 0 THEN -1 ELSE sub END AS sub",
+        "values",
+    )
+    epath = str(tmp_path / "q_evil.parquet")
+    evil.write.parquet(epath)
+    with pytest.raises(ValueError, match="corrupt quantizer"):
+        pq_load(spark, epath)
+
+
+def test_quantizer_training_sample_validation(spark, emb):
+    """Empty corpus -> named error (not numpy's opaque stack failure);
+    sample smaller than n_cells -> named error instead of silently training
+    fewer coarse cells than requested."""
+    import numpy as np
+
+    from openllm_ocr_annotator_spark.operators.similarity import (
+        bounded_sample,
+        lloyd_centroids,
+        pq_train,
+    )
+
+    with pytest.raises(ValueError, match="empty"):
+        bounded_sample(emb.filter("vec_id < 0"))
+    sample = np.random.RandomState(1).normal(size=(6, 8))
+    with pytest.raises(ValueError, match="smaller than n_cells"):
+        lloyd_centroids(sample, 8, 1)
+    with pytest.raises(ValueError, match="smaller than n_cells"):
+        pq_train(sample, 8, 1, m_sub=2, ksub=4)
+
+
 def test_pq_train_parameter_validation(spark, emb):
     import numpy as np
 
