@@ -209,6 +209,7 @@ def main() -> None:
         noisy: list[str] = []
         spreads: dict[str, float] = {}
         probes: dict[str, float] = {}  # raw canary seconds per kept trial
+        runners: dict = {}  # name -> zero-arg runner, for window re-heals
         canary = Canary(spark)
         for _ in range(3):  # seed the session-best canary reference
             canary.probe()
@@ -229,19 +230,20 @@ def main() -> None:
         timings["extract_e2e"] = round(dt, 3)
         spreads["extract_e2e"] = sp
         probes["extract_e2e"] = probe
+        runners["extract_e2e"] = run_headline
         if bad:
             noisy.append("extract_e2e")
-        docs_per_sec = round(n_docs / dt, 1)
         # salted variant: full repartition before the kernel — the skew
         # insurance for corpora whose mega-docs cluster in scan splits;
         # the delta prices that insurance (a full-corpus shuffle)
-        sdt, sp, bad, probe = timed_best(
-            lambda: run_extract_bench(spark, input_dir, num_partitions=cpus * 2)[2],
-            canary,
-        )
+        run_salted = lambda: run_extract_bench(  # noqa: E731
+            spark, input_dir, num_partitions=cpus * 2
+        )[2]
+        sdt, sp, bad, probe = timed_best(run_salted, canary)
         timings["extract_salted"] = round(sdt, 3)
         spreads["extract_salted"] = sp
         probes["extract_salted"] = probe
+        runners["extract_salted"] = run_salted
         if bad:
             noisy.append("extract_salted")
 
@@ -314,9 +316,38 @@ def main() -> None:
             timings[name] = round(best, 3)
             spreads[name] = sp
             probes[name] = probe
+            runners[name] = run_query
             if bad:
                 noisy.append(name)
 
+        # Self-heal degraded windows (VERDICT r4 #3): a row whose KEPT
+        # trial only ever saw a noisy window (canary drift > 1.5 vs the
+        # final session-best ref) is re-measured — up to 2 extra passes
+        # over just the degraded rows — and replaced iff the re-measure is
+        # faster (interference only ever inflates; min is the closest read
+        # of the engine). The recorded artifact is therefore a clean-window
+        # record by construction, or a documented 3-strike failure via the
+        # surviving canary_drift/window_quality tags.
+        def _degraded() -> list[str]:
+            ref = max(canary.ref, 1e-9)
+            return [k for k, p in probes.items() if p and p / ref > 1.5]
+
+        for _heal_pass in range(2):
+            stale = _degraded()
+            if not stale:
+                break
+            for name in stale:
+                best, sp, bad, probe = timed_best(runners[name], canary)
+                if best < timings[name]:
+                    timings[name] = round(best, 3)
+                    spreads[name] = sp
+                    probes[name] = probe
+                    if not bad and name in noisy:
+                        noisy.remove(name)
+
+        dt = timings["extract_e2e"]
+        sdt = timings["extract_salted"]
+        docs_per_sec = round(n_docs / dt, 1)
         total = round(sum(timings.values()), 3)
         # attach the latest N-vs-4N scaling evidence (scripts/scaling_bench.py)
         scaling = None
