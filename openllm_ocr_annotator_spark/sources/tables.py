@@ -16,10 +16,18 @@ engine's equivalent is a committed-snapshot table:
 
 All filesystem access goes through the Hadoop FileSystem API, so the table
 root may be ``file:``, ``hdfs:``, or any configured object-store scheme.
-The manifest rename is the commit point — atomic on local FS and HDFS; on
-S3-like stores (non-atomic rename) production should swap this layer for a
-real Iceberg catalog, which exposes the exact same four-method surface
-(documented fallback, SURVEY §7.3).
+
+The commit point is a COMPARE-AND-CLAIM on a dense version chain
+(``versions/{N:012d}.json``, created with ``overwrite=False``): exactly one
+committer can claim each version number, so two racing committers
+linearize — the loser's create throws, and it either retries at N+1
+(plain ``commit``: appends never conflict logically) or aborts and deletes
+its orphaned data files (``commit_cas`` with a stale ``expected_parent`` —
+the Iceberg optimistic-concurrency contract). This survives stores without
+atomic rename: a conditional PUT (S3 If-None-Match, HDFS/local create-
+exclusive) is the only primitive required. Pre-CAS tables (legacy
+``manifests/*.json``, rename-committed) remain readable; their entries
+order before the versioned chain.
 """
 
 from __future__ import annotations
@@ -65,22 +73,49 @@ class _HadoopFS:
             stream.close()
         return json.loads(text)
 
+    def list_dirs(self, dirpath: str) -> list[str]:
+        """Child directory names (not paths) of ``dirpath``, sorted."""
+        p = self._Path(dirpath)
+        if not self.fs.exists(p):
+            return []
+        return sorted(
+            str(s.getPath().getName())
+            for s in self.fs.listStatus(p)
+            if s.isDirectory()
+        )
+
     def delete(self, path: str) -> None:
         p = self._Path(path)
         if self.fs.exists(p) and not self.fs.delete(p, True):
             raise IOError(f"delete failed: {path}")
 
-    def write_json_atomic(self, tmp: str, final: str, obj: dict) -> None:
-        out = self.fs.create(self._Path(tmp), True)
+    def create_exclusive(self, path: str, obj: dict) -> bool:
+        """Compare-and-claim publish: create ``path`` with overwrite=False —
+        the one primitive object stores guarantee conditionally (S3
+        If-None-Match PUT, HDFS/local create-exclusive). Returns False when
+        the path is already claimed (the caller LOST the race — Hadoop
+        surfaces this as an exception, not a boolean, so the loss is
+        re-checked against existence before swallowing anything)."""
+        try:
+            out = self.fs.create(self._Path(path), False)
+        except Exception:
+            if self.fs.exists(self._Path(path)):
+                return False
+            raise
         try:
             out.write(bytearray(json.dumps(obj), "utf-8"))
         finally:
             out.close()
-        # THE commit point of the snapshot contract: rename returns False on
-        # failure (it does not raise) — must surface as an error, or a lost
-        # manifest would be reported as a successful commit.
-        if not self.fs.rename(self._Path(tmp), self._Path(final)):
-            raise IOError(f"commit rename failed: {tmp} -> {final}")
+        return True
+
+    def read_json_or_none(self, path: str) -> dict | None:
+        """``read_json`` tolerating an in-flight create (a claimed-but-not-
+        yet-closed version file on stores where files appear at create):
+        unreadable/unparseable → None, the reader skips it this scan."""
+        try:
+            return self.read_json(path)
+        except Exception:
+            return None
 
 
 class SnapshotTable:
@@ -90,18 +125,31 @@ class SnapshotTable:
         self._fs = _HadoopFS(spark, self.root)
         self._fs.mkdirs(f"{self.root}/data")
         self._fs.mkdirs(f"{self.root}/manifests")
+        self._fs.mkdirs(f"{self.root}/versions")
 
     # -- manifest chain -------------------------------------------------------
-
-    def _manifest_paths(self) -> list[str]:
-        return self._fs.list_json(f"{self.root}/manifests")
+    # Legacy entries (manifests/*.json, rename-committed) order first, by
+    # snapshot id (ms-timestamp-prefixed names = commit order); the CAS
+    # version chain (versions/{N:012d}.json) orders by version number —
+    # a table upgraded mid-life reads both, old history before new.
 
     def snapshots(self) -> list[dict]:
-        return [self._fs.read_json(p) for p in self._manifest_paths()]
+        legacy = [self._fs.read_json(p)
+                  for p in self._fs.list_json(f"{self.root}/manifests")]
+        versioned = [self._fs.read_json_or_none(p)
+                     for p in self._fs.list_json(f"{self.root}/versions")]
+        return legacy + [m for m in versioned if m is not None]
 
     def latest(self) -> dict | None:
-        paths = self._manifest_paths()
-        return self._fs.read_json(paths[-1]) if paths else None
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def _next_version(self) -> int:
+        paths = self._fs.list_json(f"{self.root}/versions")
+        if not paths:
+            return 1
+        tail = paths[-1].rsplit("/", 1)[-1]
+        return int(tail.split(".")[0]) + 1
 
     # -- write path -----------------------------------------------------------
 
@@ -123,6 +171,60 @@ class SnapshotTable:
         deriving done-ness from output rows alone would re-process such
         inputs on every resume.
         """
+        snap_id, manifest = self._write_snapshot(df, lineage, keys, extra)
+        for _ in range(100):
+            parent = self.latest()
+            manifest["parent"] = parent["snapshot_id"] if parent else None
+            if self._claim(manifest):
+                return snap_id
+        raise IOError(
+            f"commit of {snap_id} lost 100 consecutive version claims — "
+            "pathological committer contention or a stuck versions/ listing"
+        )
+
+    def commit_cas(
+        self,
+        df: DataFrame,
+        expected_parent: str | None,
+        lineage: DataFrame | None = None,
+        keys: DataFrame | None = None,
+        extra: dict | None = None,
+    ) -> str | None:
+        """Conditional commit (Iceberg optimistic-concurrency): append ``df``
+        only if the table's latest snapshot is still ``expected_parent``
+        (None = expect an empty table). Two committers retrying the same
+        logical batch race here: exactly one claims the next version; the
+        loser observes the moved chain, deletes its orphaned data/keys
+        dirs, and returns None — its caller re-reads the table and decides
+        whether its work is already represented (the resume contract)
+        instead of double-appending.
+        """
+        latest = self.latest()
+        if (latest["snapshot_id"] if latest else None) != expected_parent:
+            return None  # stale before any write — nothing to clean
+        snap_id, manifest = self._write_snapshot(df, lineage, keys, extra)
+        manifest["parent"] = expected_parent
+        # Winning the create at version N implies the chain was at N-1 when
+        # the claim landed, and N-1's manifest was re-read INSIDE this
+        # attempt — so a win is a true CAS on expected_parent. A lost
+        # create means someone else advanced the chain: re-check, and abort
+        # (clean up the invisible dirs) unless the parent is still ours.
+        while True:
+            latest = self.latest()
+            if (latest["snapshot_id"] if latest else None) != expected_parent:
+                self._fs.delete(manifest["data_dir"])
+                if manifest.get("keys_dir"):
+                    self._fs.delete(manifest["keys_dir"])
+                return None
+            if self._claim(manifest):
+                return snap_id
+
+    def _write_snapshot(
+        self, df: DataFrame, lineage: DataFrame | None,
+        keys: DataFrame | None, extra: dict | None,
+    ) -> tuple[str, dict]:
+        """Stage data/keys dirs under a fresh snapshot id (invisible until a
+        version claim publishes the manifest) and build the manifest."""
         snap_id = f"{int(time.time() * 1000):014d}_{uuid.uuid4().hex[:8]}"
         data_dir = f"{self.root}/data/{snap_id}"
         df.write.mode("errorifexists").parquet(data_dir)
@@ -131,10 +233,9 @@ class SnapshotTable:
         if keys is not None:
             keys_dir = f"{self.root}/keys/{snap_id}"
             keys.distinct().write.mode("errorifexists").parquet(keys_dir)
-        parent = self.latest()
         manifest = {
             "snapshot_id": snap_id,
-            "parent": parent["snapshot_id"] if parent else None,
+            "parent": None,
             "data_dir": data_dir,
             "keys_dir": keys_dir,
             "n_rows": n_rows,
@@ -143,12 +244,15 @@ class SnapshotTable:
             ),
             **(extra or {}),
         }
-        self._fs.write_json_atomic(
-            f"{self.root}/manifests/.{snap_id}.tmp",
-            f"{self.root}/manifests/{snap_id}.json",
-            manifest,
+        return snap_id, manifest
+
+    def _claim(self, manifest: dict) -> bool:
+        """One compare-and-claim attempt at the next version number."""
+        n = self._next_version()
+        manifest["version"] = n
+        return self._fs.create_exclusive(
+            f"{self.root}/versions/{n:012d}.json", manifest
         )
-        return snap_id
 
     # -- read path -------------------------------------------------------------
 
@@ -250,12 +354,39 @@ class SnapshotTable:
             self._fs.delete(s["data_dir"])
             if s.get("keys_dir"):
                 self._fs.delete(s["keys_dir"])
-            self._fs.delete(f"{self.root}/manifests/{sid}.json")
+            if "version" in s:  # CAS chain entry; legacy = rename-committed
+                self._fs.delete(f"{self.root}/versions/{s['version']:012d}.json")
+            else:
+                self._fs.delete(f"{self.root}/manifests/{sid}.json")
             expired.append(sid)
         if expired:
             # the survivors' replaces lists now point at deleted manifests —
             # harmless (they are only used to SKIP ids), left as history
             pass
+        return expired
+
+    def expire_orphans(self, grace_ms: int = 3_600_000) -> list[str]:
+        """Delete staged-but-never-published snapshot dirs — a committer
+        that crashed (or lost a CAS race) between staging its data and
+        claiming a version leaves dirs no manifest references; reads never
+        see them, but they hold storage. Only dirs whose snapshot id
+        timestamp is older than ``grace_ms`` go: an IN-FLIGHT commit's data
+        dir is also unreferenced until its claim lands, and the id prefix
+        (commit-start ms) is the conservative age bound that needs no
+        object-store mtime semantics. Returns the deleted snapshot ids."""
+        referenced = {s["snapshot_id"] for s in self.snapshots()}
+        cutoff = int(time.time() * 1000) - grace_ms
+        expired = []
+        for sub in ("data", "keys"):
+            for name in self._fs.list_dirs(f"{self.root}/{sub}"):
+                try:
+                    born = int(name.split("_", 1)[0])
+                except ValueError:
+                    continue  # not a snapshot dir this layer staged
+                if name not in referenced and born <= cutoff:
+                    self._fs.delete(f"{self.root}/{sub}/{name}")
+                    if sub == "data":
+                        expired.append(name)
         return expired
 
     def resume_filter(self, inputs: DataFrame, *key_cols: str) -> DataFrame:

@@ -251,3 +251,104 @@ def test_snapshot_compaction_preserves_reads_and_resume(spark, tmp_path):
         t.read_committed(as_of=s1)
     # the survivor chain is exactly compaction + the new commit
     assert [s["snapshot_id"] for s in t.snapshots()][0] == c
+
+
+def test_cas_commit_two_racing_committers(spark, tmp_path):
+    """Compare-and-claim commit (Iceberg optimistic concurrency): two
+    committers racing to append the same logical batch against the same
+    expected parent — exactly one wins a version number; the loser aborts,
+    its staged data dir is deleted, and the table reads as if only the
+    winner ever existed. A loser that crashes BEFORE its abort cleanup is
+    reclaimed by expire_orphans()."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = t.commit(spark.range(3).selectExpr("id AS doc_id"))
+
+    # interleaved race at the claim level: both stage against parent=base,
+    # A claims first, B's publish loop must observe the moved chain
+    a_id, a_manifest = t._write_snapshot(
+        spark.range(10, 13).selectExpr("id AS doc_id"), None, None, None
+    )
+    a_manifest["parent"] = base
+    assert t._claim(a_manifest)
+    b = t.commit_cas(
+        spark.range(20, 23).selectExpr("id AS doc_id"), expected_parent=base
+    )
+    assert b is None, "loser must abort, not double-append"
+    assert t.latest()["snapshot_id"] == a_id
+    assert {r.doc_id for r in t.read_committed().collect()} == {0, 1, 2, 10, 11, 12}
+    # loser's eager abort already removed its staging dir
+    datadirs = t._fs.list_dirs(f"{t.root}/data")
+    assert set(datadirs) == {base, a_id}
+
+    # winner path: CAS against the TRUE latest succeeds and chains parents
+    c = t.commit_cas(
+        spark.range(30, 32).selectExpr("id AS doc_id"), expected_parent=a_id
+    )
+    assert c is not None and t.latest()["parent"] == a_id
+
+    # crashed loser: staged dir, no claim, no cleanup -> orphan expiry
+    dead_id, _ = t._write_snapshot(
+        spark.range(99).limit(1).selectExpr("id AS doc_id"), None, None, None
+    )
+    assert t.expire_orphans(grace_ms=0) == [dead_id]
+    assert t.expire_orphans(grace_ms=0) == []  # idempotent
+    assert {r.doc_id for r in t.read_committed().collect()} == {
+        0, 1, 2, 10, 11, 12, 30, 31
+    }
+    # an in-flight commit inside the grace window is NOT reclaimed
+    live_id, _ = t._write_snapshot(
+        spark.range(1).selectExpr("id AS doc_id"), None, None, None
+    )
+    assert t.expire_orphans(grace_ms=3_600_000) == []
+    assert live_id in t._fs.list_dirs(f"{t.root}/data")
+
+
+def test_cas_claim_collision_retries_and_tolerates_garbage(spark, tmp_path):
+    """A plain commit() that loses a version claim retries at N+1 (appends
+    never conflict logically); an unparseable in-flight version file is
+    skipped by readers but still occupies its number."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.commit(spark.range(2).selectExpr("id AS doc_id"))
+    # occupy the next version number with an in-flight (empty) claim file
+    p = t._fs._Path(f"{t.root}/versions/{t._next_version():012d}.json")
+    t._fs.fs.create(p, False).close()
+    s2 = t.commit(spark.range(5, 7).selectExpr("id AS doc_id"))
+    # reader skipped the garbage file; the chain is s1 -> s2 at versions 1,3
+    snaps = t.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == [s1, s2]
+    assert [s["version"] for s in snaps] == [1, 3]
+    assert snaps[-1]["parent"] == s1
+    assert {r.doc_id for r in t.read_committed().collect()} == {0, 1, 5, 6}
+    # create_exclusive is a true compare-and-claim: second create loses
+    assert not t._fs.create_exclusive(f"{t.root}/versions/{1:012d}.json", {})
+
+
+def test_cas_commit_legacy_manifest_compat(spark, tmp_path):
+    """A table written by the pre-CAS layer (rename-committed
+    manifests/*.json) stays readable: legacy history orders before the
+    versioned chain, resume/compaction/expiry see both."""
+    import json as _json
+
+    root = tmp_path / "tbl"
+    t = SnapshotTable(spark, str(root))
+    # hand-write a legacy manifest exactly as the old rename path did
+    legacy_id = "00000000000001_aaaaaaaa"
+    spark.range(3).selectExpr("id AS doc_id").write.parquet(
+        str(root / "data" / legacy_id)
+    )
+    (root / "manifests" / f"{legacy_id}.json").write_text(_json.dumps({
+        "snapshot_id": legacy_id, "parent": None,
+        "data_dir": str(root / "data" / legacy_id),
+        "keys_dir": None, "n_rows": 3, "lineage": [],
+    }))
+    s2 = t.commit(spark.range(10, 12).selectExpr("id AS doc_id"))
+    assert [s["snapshot_id"] for s in t.snapshots()] == [legacy_id, s2]
+    assert t.latest()["parent"] == legacy_id
+    assert {r.doc_id for r in t.read_committed().collect()} == {0, 1, 2, 10, 11}
+    # compaction replaces BOTH generations; expiry deletes the legacy
+    # manifest file and the versioned claim file alike
+    c = t.compact()
+    assert set(t.expire_replaced()) == {legacy_id, s2}
+    assert not (root / "manifests" / f"{legacy_id}.json").exists()
+    assert {r.doc_id for r in t.read_committed().collect()} == {0, 1, 2, 10, 11}
+    assert [s["snapshot_id"] for s in t.snapshots()] == [c]
