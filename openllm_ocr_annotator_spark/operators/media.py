@@ -88,23 +88,49 @@ def _pil_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+_MAGIC_FORMATS = (
+    (b"II*\x00", "TIFF"), (b"MM\x00*", "TIFF"),
+    (b"\x89PNG", "PNG"), (b"GIF8", "GIF"), (b"BM", "BMP"),
+    (b"\xff\xd8", "JPEG"), (b"P5", "PPM"), (b"P6", "PPM"),
+)
+
+
+def _sniff_format(payload: bytes) -> str:
+    """Best-effort container name from magic bytes — refusals must NAME the
+    format (VERDICT r4 #5: 'strict-refuse by name'), so an operator seeing
+    'no decoder for TIFF' knows to install PIL rather than suspect data
+    corruption. WebP nests its fourcc behind the RIFF header."""
+    head = bytes(payload[:16])
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "WebP"
+    for magic, name in _MAGIC_FORMATS:
+        if head.startswith(magic):
+            return name
+    return "unrecognized"
+
+
 def _decode_payload(payload: bytes, kind: str) -> tuple[int, int, int]:
     """Real decode: dependency-free BMP/PPM/GIF/PNG/JPEG parse first, PIL
-    for anything else. Raises ValueError when neither can read the bytes."""
+    for anything else. Raises ValueError when neither can read the bytes,
+    naming the sniffed container format."""
     from ..kernel import imagecodec
 
     try:
         width, height, n_frames = imagecodec.decode_geometry(bytes(payload))
     except ValueError as codec_err:
         if not HAS_PIL:
-            raise
+            raise ValueError(
+                f"no decoder for {_sniff_format(payload)} payload "
+                f"(builtin codecs: {codec_err}; PIL not importable)"
+            ) from codec_err
         try:
             return _pil_decode(payload, kind)
         except Exception as pil_err:
             # PIL raises its own hierarchy (UnidentifiedImageError, OSError);
             # normalize so the lenient/strict dispatch above sees ValueError
             raise ValueError(
-                f"builtin codecs: {codec_err}; PIL: {pil_err}"
+                f"no decoder for {_sniff_format(payload)} payload "
+                f"(builtin codecs: {codec_err}; PIL: {pil_err})"
             ) from pil_err
     return width, height, 1 if kind == "image" else n_frames
 
@@ -136,8 +162,9 @@ def extract_media_features(media_rows: DataFrame, strict: bool = False) -> DataF
         try:
             return _decode_payload(payload, kind)
         except ValueError as e:
-            hint = "" if HAS_PIL else " (PIL not importable in this environment)"
-            raise ValueError(f"strict media decode failed for {ref!r}: {e}{hint}") from e
+            # _decode_payload already names the sniffed format and which
+            # decoders (builtin / PIL) refused — just anchor the media ref
+            raise ValueError(f"strict media decode failed for {ref!r}: {e}") from e
 
     def _lenient_decode(ref: str, kind: str, payload) -> tuple[int, int, int]:
         if payload is not None:
@@ -275,6 +302,7 @@ def phash_dedup(
     max_hamming: int = 3,
     max_bucket_size: int = 1000,
     caches: list | None = None,
+    stats: list | None = None,
 ) -> DataFrame:
     """Per-image dedup summary over dHash values: exact perceptual
     duplicates (identical hash — e.g. cross-container re-encodes) and
@@ -284,8 +312,9 @@ def phash_dedup(
     Same scale shape as ``simhash_pairs``: (max_hamming+1)-chunk
     pigeonhole banding (any pair within the budget shares one identical
     16-bit chunk, so the bucket equi-join has PERFECT recall — no
-    all-pairs join), ``max_bucket_size`` caps viral-image buckets
-    (bucket² rows) with the same documented drop. Exact buckets are one
+    all-pairs join), ``max_bucket_size`` bounds viral-image buckets
+    (bucket² rows) via the shared star escape hatch (``stats=[]`` for
+    drop accounting). Exact buckets are one
     mergeable groupBy(phash) (count + min survive map-side combine).
 
     Returns (doc_id, media_ref, phash, n_exact, n_near, keep): counts of
@@ -311,7 +340,9 @@ def phash_dedup(
     from .dedup import chunk_band_pairs
 
     near_pairs = (
-        chunk_band_pairs(hashes, "media_ref", "phash", max_hamming, max_bucket_size)
+        chunk_band_pairs(
+            hashes, "media_ref", "phash", max_hamming, max_bucket_size, stats
+        )
         .filter(F.col("hamming") >= 1)  # hamming 0 is the exact-bucket leg
         .select(
             F.col("key_a").alias("ref_a"),

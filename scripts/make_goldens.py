@@ -227,9 +227,12 @@ for d in doc_ids:
         buckets.setdefault((band_idx, int(bh)), []).append(d)
 cand = set()
 for members in buckets.values():
-    if len(members) > 1000:
-        continue  # max_bucket_size drop, same as the operator
     ms = sorted(members)
+    if len(ms) > 1000:
+        # viral-bucket star escape hatch, same as the operator: min-id hub
+        # linked to every other member instead of the bucket² expansion
+        cand.update((ms[0], m) for m in ms[1:])
+        continue
     for i in range(len(ms)):
         for j in range(i + 1, len(ms)):
             cand.add((ms[i], ms[j]))
@@ -257,9 +260,10 @@ for d in doc_ids:
         sh_buckets.setdefault((ci, (hashes[d] >> (ci * 16)) & 0xFFFF), []).append(d)
 sh_cand = set()
 for members in sh_buckets.values():
-    if len(members) > 1000:
-        continue
     ms = sorted(members)
+    if len(ms) > 1000:
+        sh_cand.update((ms[0], m) for m in ms[1:])  # star escape hatch
+        continue
     for i in range(len(ms)):
         for j in range(i + 1, len(ms)):
             sh_cand.add((ms[i], ms[j]))

@@ -709,3 +709,95 @@ def test_codec_fuzz_mutations_never_hang_or_leak_exceptions():
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+def test_pil_branch_executes_via_injected_stub(monkeypatch):
+    """The PIL dispatch branch (VERDICT r4 #5: a path no CI had executed)
+    run with an injected stand-in: success path (geometry + n_frames
+    honored for video, forced 1 for image) and failure path (PIL's own
+    exception hierarchy normalized to a ValueError naming the sniffed
+    format and both refusing decoders). Pure driver-side call — the
+    branch is plain Python, Spark workers import the same module."""
+    import pytest as _pytest
+
+    from openllm_ocr_annotator_spark.operators import media as M
+
+    tiff = b"II*\x00" + b"\x00" * 24
+
+    class _Im:
+        size = (320, 200)
+        n_frames = 7
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakePIL:
+        @staticmethod
+        def open(buf):
+            return _Im()
+
+    monkeypatch.setattr(M, "_PILImage", _FakePIL)
+    monkeypatch.setattr(M, "HAS_PIL", True)
+    assert M._decode_payload(tiff, "image") == (320, 200, 1)
+    assert M._decode_payload(tiff, "video") == (320, 200, 7)
+
+    class _BoomPIL:
+        @staticmethod
+        def open(buf):
+            raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(M, "_PILImage", _BoomPIL)
+    with _pytest.raises(ValueError, match="no decoder for TIFF.*PIL: cannot"):
+        M._decode_payload(tiff, "image")
+
+
+def test_decode_refusal_names_sniffed_format(monkeypatch):
+    """Without PIL, undecodable payloads are strict-refused BY NAME — an
+    operator reading 'no decoder for WebP' installs PIL; 'unrecognized'
+    means corrupt data. Covers every magic the sniffer knows."""
+    import pytest as _pytest
+
+    from openllm_ocr_annotator_spark.operators import media as M
+
+    monkeypatch.setattr(M, "HAS_PIL", False)
+    monkeypatch.setattr(M, "_PILImage", None)
+    cases = [
+        (b"II*\x00" + b"\x00" * 8, "TIFF"),
+        (b"MM\x00*" + b"\x00" * 8, "TIFF"),
+        (b"RIFF\x10\x00\x00\x00WEBPVP8 ", "WebP"),
+        (b"\x00\x01garbage-bytes", "unrecognized"),
+    ]
+    for payload, name in cases:
+        with _pytest.raises(ValueError, match=f"no decoder for {name}"):
+            M._decode_payload(payload, "image")
+    # a format a builtin codec OWNS but whose bytes are corrupt keeps the
+    # codec's own diagnosis (PNG magic, truncated header)
+    with _pytest.raises(ValueError, match="no decoder for PNG"):
+        M._decode_payload(b"\x89PNG\r\n\x1a\n\x00\x00", "image")
+
+
+def test_strict_decode_refusal_through_spark(spark):
+    """End-to-end: a strict decode of a PIL-only format in a PIL-less
+    session fails AT THE EXECUTOR with the format name in the error — the
+    production refusal contract, exercised through the real mapInPandas
+    kernel, not just the pure function."""
+    from openllm_ocr_annotator_spark.operators.media import (
+        HAS_PIL,
+        extract_media_features,
+    )
+
+    if HAS_PIL:  # the refusal path only exists PIL-less; inline-skip style
+        import pytest as _pytest
+
+        _pytest.skip("PIL importable: refusal branch unreachable")
+    df = spark.createDataFrame(
+        [("d1", "ref://t.tiff", "image", bytearray(b"II*\x00" + b"\x00" * 24))],
+        "doc_id string, media_ref string, kind string, payload binary",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no decoder for TIFF"):
+        extract_media_features(df, strict=True).collect()
