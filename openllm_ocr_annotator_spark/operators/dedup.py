@@ -576,8 +576,14 @@ def dedup_clusters(
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     max_iter: int = 30,
     check_every: int = 2,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup *pairs* into connected components → a keep/drop list.
+
+    ``metrics``: pass ``{}`` to receive ``{"rounds": n}`` — the number of
+    propagation rounds actually executed, the scale-audit number (at any
+    corpus size the round count, not the row count, is what the iterative
+    plan multiplies).
 
     The pair generators (``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` /
     ``simhash_pairs``) stop at similar pairs; an actual dedup pass needs the
@@ -644,6 +650,8 @@ def dedup_clusters(
                     .count()
                 )
             labels = new_labels
+            if metrics is not None:
+                metrics["rounds"] = it + 1
             if probe and changed == 0:
                 break
         else:
