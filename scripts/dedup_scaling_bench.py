@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Scaling evidence for the SHUFFLE-HEAVY path: dedup at N and 4N executors.
+
+`scripts/scaling_bench.py` evidences the north rule's two-cluster-size
+criterion on the extraction job — which is deliberately shuffle-free, so
+it measures partitioning and per-executor overhead but says nothing about
+how the engine's exchanges behave when the cluster grows. The dedup
+pipeline (`minhash_lsh_pairs → dedup_clusters → survivors`) is the
+opposite extreme: band-bucket exchange, iterative connected-components
+shuffles, and a keep-join. This harness runs THAT job at 1×4 and 4×4
+local-cluster executors (same taskset pinning and `spark.submit.pyFiles`
+shipping as the extraction pair) over the scale-smoke amplified corpus,
+and reports throughput at both plus the scaling efficiency.
+
+  efficiency = (docs/sec at 4N) / (4 × docs/sec at N)   — target ≥ 0.8.
+
+Corpus: the same amplified-documents parquet `scripts/scale_smoke.py`
+materializes (dup-groups of 8 per base doc + a planted viral cluster),
+at a replicate sized so one trial's compute dominates executor spin-up
+without making the 4-core point take tens of minutes.
+
+Writes BENCH_DEDUP_SCALING.json and prints a markdown row for BASELINE.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+
+n_exec, cores_per, input_dir, pkg_zip = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+n_trials = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+
+spark = (SparkSession.builder.appName(f"dedup_scaling_{{n_exec}}x{{cores_per}}")
+    .master(f"local-cluster[{{n_exec}},{{cores_per}},4096]")
+    .config("spark.submit.pyFiles", pkg_zip)          # --py-files shipping
+    .config("spark.executor.memory", "4g")
+    .config("spark.sql.shuffle.partitions", str(n_exec * cores_per * 2))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from openllm_ocr_annotator_spark.operators.dedup import (
+    dedup_clusters, minhash_lsh_pairs, survivors)
+
+docs = spark.read.parquet(input_dir)
+n_docs = docs.count()
+times, kept_counts = [], []
+for trial in range(n_trials):  # first is warmup (executor/python spin-up)
+    t0 = time.perf_counter()
+    caches = []
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.7, max_bucket_size=1000, caches=caches).persist()
+    clusters = dedup_clusters(pairs, docs=docs).persist()
+    kept = docs.join(survivors(clusters, docs), "doc_id").count()
+    times.append(time.perf_counter() - t0)
+    kept_counts.append(kept)
+    pairs.unpersist(); clusters.unpersist()
+    for c in caches:
+        c.unpersist()
+spark.stop()
+assert len(set(kept_counts)) == 1, f"nondeterministic keep set: {{kept_counts}}"
+best = min(times[1:])
+print("RESULT " + json.dumps({{
+    "executors": n_exec, "cores_per_executor": cores_per,
+    "total_cores": n_exec * cores_per, "docs": n_docs,
+    "kept_docs": kept_counts[0],
+    "trial_seconds": [round(t, 2) for t in times],
+    "best_seconds": round(best, 2), "docs_per_sec": n_docs / best}}))
+"""
+
+
+def run_child(
+    n_exec: int, cores_per: int, input_dir: str, pkg_zip: str, n_trials: int = 4
+) -> dict:
+    script = CHILD.format(repo=REPO)
+    total = n_exec * cores_per
+    cmd = [
+        "taskset", "-c", f"0-{total - 1}", sys.executable, "-c", script,
+        str(n_exec), str(cores_per), input_dir, pkg_zip, str(n_trials),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=5400)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    replicate = int(os.environ.get("DEDUP_BENCH_REPLICATE", "24"))
+    work_dir = os.environ.get("BENCH_WORK_DIR", "/tmp/spark_bench")
+    os.makedirs(work_dir, exist_ok=True)
+
+    pkg_zip = os.path.join(work_dir, "openllm_pkg.zip")
+    shutil.make_archive(pkg_zip[:-4], "zip", root_dir=REPO,
+                        base_dir="openllm_ocr_annotator_spark")
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, HERE)
+    import scale_smoke
+    from openllm_ocr_annotator_spark.session import get_spark
+
+    spark = get_spark(app_name="dedup_scaling_prep", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    input_dir = scale_smoke.amplified_path(spark, replicate)
+    spark.stop()
+
+    lo = run_child(1, 4, input_dir, pkg_zip)
+    hi = run_child(4, 4, input_dir, pkg_zip)
+    eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+
+    result = {
+        "job": "minhash_lsh_pairs -> dedup_clusters -> survivors",
+        "input_dir": input_dir,
+        "replicate": replicate,
+        "primary": {
+            "low": lo,
+            "high": hi,
+            "scaling_efficiency_1x4_to_4x4": round(eff, 3),
+            "target": 0.8,
+            "pass": eff >= 0.8,
+        },
+    }
+    with open(os.path.join(REPO, "BENCH_DEDUP_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    print(
+        f"| dedup e2e | 1 executor (4 cores): {lo['docs_per_sec']:.0f} docs/s | "
+        f"4 executors (16 cores): {hi['docs_per_sec']:.0f} docs/s | "
+        f"efficiency {eff:.3f} |"
+    )
+
+
+if __name__ == "__main__":
+    main()

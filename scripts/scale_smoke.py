@@ -54,16 +54,36 @@ VIRAL_TEXT = (
 ) * 2
 
 
+def chunk_lines(text: str, width: int = 10) -> str:
+    """Pure-Python twin of the 10-word re-chunking below (for assertions)."""
+    w = text.split(" ")
+    return chr(10).join(
+        " ".join(w[i : i + width]) for i in range(0, len(w), width)
+    )
+
+
 def amplified_path(spark, replicate: int) -> str:
-    """Materialize the amplified corpus once per (sf, replicate)."""
+    """Materialize the amplified corpus once per (sf, replicate).
+
+    Every projection stage introduces ONLY fresh column names (base_id →
+    body → text): an earlier version re-aliased ``doc_id``/``text`` in the
+    same select that consumed them, and Spark's lateral column alias
+    resolution silently bound ``F.col("doc_id")`` inside the body
+    expression to the NEW (replicated) id — scattering the planted viral
+    cluster into per-replica truncation variants. Distinct names per stage
+    make that capture impossible, and ``run_point`` now asserts the
+    planting before timing anything.
+    """
     tag = f"{os.path.basename(SF_DIR.rstrip('/'))}_x{replicate}"
     out = os.path.join(WORK, f"docs_{tag}")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("base_id"), F.col("text").alias("base_text")
+    )
     k = F.col("k")
     g = (k / F.lit(8)).cast("int")
-    words = F.split(F.col("text"), " ")
+    words = F.split(F.col("base_text"), " ")
     # group-variant body: every 5th word (group-dependent phase) replaced
     # by a group-specific token -> inter-group est-jaccard ~0.4 (< 0.7)
     mutated = F.transform(
@@ -77,23 +97,27 @@ def amplified_path(spark, replicate: int) -> str:
     member_words = F.when(
         k % 8 < 3, mutated
     ).otherwise(F.concat(mutated, F.array(F.concat(F.lit("tail"), k.cast("string")))))
-    body = F.when(F.col("doc_id") % 101 == 0, F.lit(VIRAL_TEXT.strip())).otherwise(
+    body = F.when(F.col("base_id") % 101 == 0, F.lit(VIRAL_TEXT.strip())).otherwise(
         F.concat_ws(" ", member_words)
     )
     # re-chunk into 10-word lines so line-level dedup sees line structure
-    bw = F.split(body, " ")
+    bw = F.split(F.col("body"), " ")
     lines = F.transform(
         F.sequence(F.lit(0), ((F.size(bw) - 1) / F.lit(10)).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(bw, i * 10 + 1, 10)),
     )
     (
         docs.select(
-            "doc_id",
-            "text",
+            "base_id",
+            "base_text",
             F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("k"),
         )
         .select(
-            (F.col("doc_id") * replicate + k).alias("doc_id"),
+            (F.col("base_id") * replicate + k).alias("new_id"),
+            body.alias("body"),
+        )
+        .select(
+            F.col("new_id").alias("doc_id"),
             F.concat_ws(chr(10), lines).alias("text"),
         )
         .repartition(max(CPUS * 2, 64))
@@ -160,6 +184,22 @@ def run_point(spark, replicate: int) -> dict:
     path = amplified_path(spark, replicate)
     docs = spark.read.parquet(path)
     n_docs = docs.count()
+    # fail fast if the planted viral cluster is not EXACTLY replicate copies
+    # of the chunked viral literal per viral base doc (the alias-capture bug
+    # this guards against produced scattered truncation variants instead)
+    viral_doc_text = chunk_lines(VIRAL_TEXT.strip())
+    n_viral_base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("doc_id % 101 = 0")
+        .count()
+    )
+    planted = docs.filter(F.col("text") == viral_doc_text).count()
+    expect = replicate * n_viral_base
+    if planted != expect:
+        raise AssertionError(
+            f"viral planting broken: {planted} exact viral docs, expected "
+            f"{expect} (= {replicate} x {n_viral_base} base docs)"
+        )
     meter = ShuffleMeter(spark)
     out: dict = {"replicate": replicate, "n_docs": n_docs, "families": {}}
 
@@ -197,12 +237,10 @@ def run_point(spark, replicate: int) -> dict:
         keep = survivors(clusters, docs)
         kept = docs.join(keep, "doc_id").count()
         # the planted viral cluster must resolve to ONE component
-        viral_members = replicate * spark.read.parquet(
-            f"{SF_DIR}/documents.parquet"
-        ).filter("doc_id % 101 = 0").count()
+        viral_members = planted
         viral_clusters = (
             clusters.join(
-                docs.filter(F.col("text").startswith("subscribe to our")),
+                docs.filter(F.col("text") == viral_doc_text),
                 "doc_id",
             )
             .select("cluster_id")
