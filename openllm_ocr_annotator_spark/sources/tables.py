@@ -6,8 +6,8 @@ pipeline/image_dataset.py:43-47). At 10^12 docs that is untenable — the
 engine's equivalent is a committed-snapshot table:
 
 - every ``commit`` writes a new parquet directory ``data/<snapshot_id>/``
-  plus an atomically-renamed manifest entry (JSON) recording snapshot id,
-  parent, row count, and the per-partition lineage rows;
+  plus a compare-and-claimed version entry (JSON, see below) recording
+  snapshot id, parent, row count, and the per-partition lineage rows;
 - ``read_committed`` unions all data dirs reachable from the latest
   manifest — uncommitted/aborted directories are invisible (crash safety);
 - resume = left anti-join of the input table against committed keys, which

@@ -42,10 +42,13 @@ n_exec, cores_per, input_dir, pkg_zip = (
 n_trials = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
 spark = (SparkSession.builder.appName(f"dedup_scaling_{{n_exec}}x{{cores_per}}")
-    .master(f"local-cluster[{{n_exec}},{{cores_per}},4096]")
+    .master(f"local-cluster[{{n_exec}},{{cores_per}},6144]")
     .config("spark.submit.pyFiles", pkg_zip)          # --py-files shipping
-    .config("spark.executor.memory", "4g")
-    .config("spark.sql.shuffle.partitions", str(n_exec * cores_per * 2))
+    .config("spark.executor.memory", "6g")
+    # same partition count at BOTH cluster sizes (the comparison must vary
+    # only the core count); floor 32 keeps x480's 6.7 GB max-stage shuffle
+    # at ~200 MB per partition on a 6 GB executor
+    .config("spark.sql.shuffle.partitions", str(max(32, n_exec * cores_per * 2)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -121,19 +124,33 @@ def main() -> None:
     hi = run_child(4, 4, input_dir, pkg_zip)
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
 
+    point = {
+        "replicate": replicate,
+        "n_docs": lo["docs"],
+        "input_dir": input_dir,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency_1x4_to_4x4": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    # merge by corpus size: the efficiency-vs-scale CURVE is the result
+    # (fixed coordination cost amortizes as the corpus grows)
+    art = os.path.join(REPO, "BENCH_DEDUP_SCALING.json")
+    points = []
+    if os.path.exists(art):
+        with open(art) as f:
+            points = json.load(f).get("points", [])
+    points = [p for p in points if p["replicate"] != replicate] + [point]
+    points.sort(key=lambda p: p["n_docs"])
     result = {
         "job": "minhash_lsh_pairs -> dedup_clusters -> survivors",
-        "input_dir": input_dir,
-        "replicate": replicate,
-        "primary": {
-            "low": lo,
-            "high": hi,
-            "scaling_efficiency_1x4_to_4x4": round(eff, 3),
-            "target": 0.8,
-            "pass": eff >= 0.8,
-        },
+        "protocol": "local-cluster taskset-pinned, --py-files shipped, "
+        "best of 3 timed trials after 1 warmup, 32 shuffle partitions "
+        "at both cluster sizes",
+        "points": points,
     }
-    with open(os.path.join(REPO, "BENCH_DEDUP_SCALING.json"), "w") as f:
+    with open(art, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     print(
