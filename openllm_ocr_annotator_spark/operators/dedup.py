@@ -851,9 +851,14 @@ def substring_dedup(
     equivalent is an overlapping-k-gram exchange, and the design lives or
     dies on what crosses the shuffle:
 
-    - each position's k-gram STRING exists only inside one narrow
-      projection (posexplode → concat_ws → xxhash64); the shuffle carries
-      8-byte hashes + (doc, pos) — ~24 bytes/token, not k×token text;
+    - no position ever materializes its k-gram as a string: each token is
+      hashed ONCE into a long array, and a position's fingerprint is
+      ``xxhash64`` over the k-long slice (seed-chained element hashing) —
+      measured 1.31× faster than the concat_ws(string)→hash shape at 600k
+      docs / 30M tokens with an identical dup set
+      (``scripts/substring_fingerprint_probe.py``), because the string
+      shape allocates ~k×token bytes per position before hashing; the
+      shuffle carries 8-byte fingerprints + (doc, pos) either way;
     - first-occurrence = min(struct(doc, pos)) per hash: MERGEABLE, so a
       corpus-wide boilerplate k-gram partial-aggregates map-side;
     - the join-back on the hash is AQE skew-join territory (same argument
@@ -867,16 +872,19 @@ def substring_dedup(
     toks = docs.select(F.col(id_col).alias("doc_id"), w.alias("w")).withColumn(
         "n", F.size("w")
     )
-    occ = toks.where(F.col("n") >= k).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n") - k),
-                lambda i: F.concat_ws(" ", F.slice("w", i + 1, F.lit(k))),
-            )
-        ).alias("pos", "gram"),
+    keyed = (
+        toks.where(F.col("n") >= k)
+        .withColumn("hw", F.transform("w", lambda t: F.xxhash64(t)))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - k),
+                    lambda i: F.xxhash64(F.slice("hw", i + 1, F.lit(k))),
+                )
+            ).alias("pos", "_h"),
+        )
     )
-    keyed = occ.select("doc_id", "pos", F.xxhash64("gram").alias("_h"))
     first = keyed.groupBy("_h").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )

@@ -104,8 +104,17 @@ class _HadoopFS:
             raise
         try:
             out.write(bytearray(json.dumps(obj), "utf-8"))
-        finally:
             out.close()
+        except Exception:
+            # a claimed-but-bodyless version file would wedge every future
+            # CAS (readers can never parse the tip) — un-claim before
+            # surfacing the write failure
+            try:
+                out.close()
+            except Exception:
+                pass
+            self.fs.delete(self._Path(path), False)
+            raise
         return True
 
     def read_json_or_none(self, path: str) -> dict | None:
@@ -150,6 +159,31 @@ class SnapshotTable:
             return 1
         tail = paths[-1].rsplit("/", 1)[-1]
         return int(tail.split(".")[0]) + 1
+
+    def _chain_tip(self) -> tuple[dict | None, int]:
+        """One consistent observation of the chain for a CAS: the parsed
+        manifest at the LISTING tail plus the next claimable version. On
+        stores where ``create`` materializes the file before the body lands
+        (local FS, HDFS — unlike S3, where a conditional PUT is atomic with
+        its content), the tail may be claimed but not yet readable; that
+        racer is waited out briefly, then surfaced as an OPAQUE tip
+        (manifest None with version > 0) so the caller treats the chain as
+        advanced instead of misreading the tip as its grandparent — the
+        hole that would let two CAS committers both append to the same
+        parent."""
+        paths = self._fs.list_json(f"{self.root}/versions")
+        if not paths:
+            legacy = [self._fs.read_json(p)
+                      for p in self._fs.list_json(f"{self.root}/manifests")]
+            return (legacy[-1] if legacy else None), 1
+        tail = paths[-1]
+        n = int(tail.rsplit("/", 1)[-1].split(".")[0])
+        for _ in range(20):
+            m = self._fs.read_json_or_none(tail)
+            if m is not None:
+                return m, n + 1
+            time.sleep(0.05)
+        return None, n + 1  # claimed but unreadable after the grace: opaque
 
     # -- write path -----------------------------------------------------------
 
@@ -199,25 +233,32 @@ class SnapshotTable:
         whether its work is already represented (the resume contract)
         instead of double-appending.
         """
-        latest = self.latest()
-        if (latest["snapshot_id"] if latest else None) != expected_parent:
+        # The claim is BOUND to the version observed while validating the
+        # parent: winning create-exclusive at tip+1 proves the chain was at
+        # the validated tip when the claim landed — a true CAS. (Claiming
+        # "whatever is next" at claim time instead would let a racer whose
+        # version file is created but not yet written hide the real tip:
+        # we'd validate expected_parent against the grandparent, then
+        # successfully claim one PAST the in-flight claim — two appends to
+        # the same parent, the exact race this method exists to refuse.)
+        tip, version = self._chain_tip()
+        if tip is None and version > 1:
+            return None  # opaque in-flight claim at the tip: chain moving
+        if (tip["snapshot_id"] if tip else None) != expected_parent:
             return None  # stale before any write — nothing to clean
         snap_id, manifest = self._write_snapshot(df, lineage, keys, extra)
         manifest["parent"] = expected_parent
-        # Winning the create at version N implies the chain was at N-1 when
-        # the claim landed, and N-1's manifest was re-read INSIDE this
-        # attempt — so a win is a true CAS on expected_parent. A lost
-        # create means someone else advanced the chain: re-check, and abort
-        # (clean up the invisible dirs) unless the parent is still ours.
-        while True:
-            latest = self.latest()
-            if (latest["snapshot_id"] if latest else None) != expected_parent:
-                self._fs.delete(manifest["data_dir"])
-                if manifest.get("keys_dir"):
-                    self._fs.delete(manifest["keys_dir"])
-                return None
-            if self._claim(manifest):
-                return snap_id
+        manifest["version"] = version
+        if self._fs.create_exclusive(
+            f"{self.root}/versions/{version:012d}.json", manifest
+        ):
+            return snap_id
+        # lost the claim at exactly tip+1 → someone advanced the chain past
+        # expected_parent: abort and clean up the never-visible dirs
+        self._fs.delete(manifest["data_dir"])
+        if manifest.get("keys_dir"):
+            self._fs.delete(manifest["keys_dir"])
+        return None
 
     def _write_snapshot(
         self, df: DataFrame, lineage: DataFrame | None,

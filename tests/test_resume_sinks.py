@@ -323,6 +323,28 @@ def test_cas_claim_collision_retries_and_tolerates_garbage(spark, tmp_path):
     assert not t._fs.create_exclusive(f"{t.root}/versions/{1:012d}.json", {})
 
 
+def test_cas_commit_refuses_opaque_inflight_tip(spark, tmp_path):
+    """THE linearization hole a version-bound claim closes: racer A has
+    claimed version 2 but its body is still in flight (created, unwritten
+    — the local-FS/HDFS window; S3 conditional PUT is atomic with its
+    content). Racer B validates expected_parent against the parseable tail
+    (version 1) — if B then claimed 'whatever is next' (version 3), BOTH
+    would append to the same parent. B must instead observe the opaque tip
+    and abort, leaving no claim and no staged dirs."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.commit(spark.range(2).selectExpr("id AS doc_id"))
+    # racer A: claim created, body not yet written
+    t._fs.fs.create(t._fs._Path(f"{t.root}/versions/{2:012d}.json"), False).close()
+    assert t.latest()["snapshot_id"] == s1  # the tip B would misread
+    b = t.commit_cas(
+        spark.range(20, 23).selectExpr("id AS doc_id"), expected_parent=s1
+    )
+    assert b is None, "CAS must refuse while the tip claim is opaque"
+    # B claimed nothing and staged nothing
+    assert t._next_version() == 3
+    assert set(t._fs.list_dirs(f"{t.root}/data")) == {s1}
+
+
 def test_cas_commit_legacy_manifest_compat(spark, tmp_path):
     """A table written by the pre-CAS layer (rename-committed
     manifests/*.json) stays readable: legacy history orders before the
