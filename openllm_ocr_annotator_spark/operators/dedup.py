@@ -193,8 +193,10 @@ def _split_viral_buckets(
                 *bucket_keys,
                 n.alias("n_members"),
                 (n - F.lit(1)).alias("pairs_materialized"),
-                (n * (n - F.lit(1)) / F.lit(2) - (n - F.lit(1)))
-                .cast("long")
+                # n(n-1)/2 - (n-1) = (n-1)(n-2)/2, always even — pure long
+                # arithmetic (a double division would round once a viral
+                # bucket passes ~10^8 members: n² > 2^53)
+                F.shiftright((n - F.lit(1)) * (n - F.lit(2)), 1)
                 .alias("pairs_skipped"),
             )
         )

@@ -29,7 +29,9 @@ star escape hatch and its drop accounting at scale.
 
 Usage:
   python scripts/scale_smoke.py [replicates ...]   # default: 120 480
-Writes BENCH_SCALE_SMOKE.json at the repo root (merging scale points).
+  SMOKE_FAMILIES=substring_dedup,line_dedup python scripts/scale_smoke.py 480
+Writes BENCH_SCALE_SMOKE.json at the repo root (merging scale points; a
+family-filtered run re-measures just those rows inside existing points).
 """
 from __future__ import annotations
 
@@ -203,7 +205,13 @@ def run_point(spark, replicate: int) -> dict:
     meter = ShuffleMeter(spark)
     out: dict = {"replicate": replicate, "n_docs": n_docs, "families": {}}
 
+    only = {
+        f for f in os.environ.get("SMOKE_FAMILIES", "").split(",") if f
+    }
+
     def fam(name, fn, n_items=n_docs, unit="docs"):
+        if only and name not in only:
+            return
         spark.catalog.clearCache()
         meter.delta()
         t0 = time.perf_counter()
@@ -291,6 +299,8 @@ def run_point(spark, replicate: int) -> dict:
     fam("bm25_search", bm25)
 
     # -- media: replicate the variant corpus with fresh refs --------------
+    if only and "media_phash_dedup" not in only:
+        return out
     media = (
         synthesize_media_variants(spark, SF_DIR)
         .select(
@@ -357,6 +367,11 @@ def main():
         if os.path.exists(art_path):
             with open(art_path) as f:
                 old = json.load(f).get("points", [])
+        prev = next(
+            (p for p in old if p["replicate"] == point["replicate"]), None
+        )
+        if prev is not None:  # family-filtered run: refresh only its rows
+            point["families"] = {**prev["families"], **point["families"]}
         pts = [p for p in old if p["replicate"] != point["replicate"]] + [point]
         pts.sort(key=lambda p: p["n_docs"])
         merged = {"sf_dir": SF_DIR, "cpus": CPUS, "points": pts}
