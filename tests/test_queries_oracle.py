@@ -116,9 +116,11 @@ def test_driver_surface_caps_at_50_and_leads_with_flagships():
         assert names[50] == "extract_lineage"
         assert "extract_lineage" not in entry_mod.oracle_sql()
     # the queries the round-3 cap evicted must now be IN the surface
+    # (r5: extract_spans_wide rides as the 'wide' leg of extract_variants,
+    # which also carries extract_spans — U1 stays in the flagship head)
     for flagship in (
         "weighted_vote", "eval_field_accuracy", "annotation_pipeline",
-        "ensemble_extract", "extract_spans_wide", "dedup_minhash_lsh",
+        "ensemble_extract", "extract_variants", "dedup_minhash_lsh",
         "dedup_clusters", "dedup_corpus", "extract_lineage_global",
         "streaming_digest_counts",
     ):
