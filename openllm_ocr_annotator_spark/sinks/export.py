@@ -171,3 +171,54 @@ def write_split_parquet(
     """K4: split-partitioned parquet dataset (partition pruning on split)."""
     out = df.withColumn("split", split_column(F.col(key_col), train, test, seed))
     out.write.mode(mode).partitionBy("split").parquet(path)
+
+
+# -- K6: demo HTML gallery ----------------------------------------------------
+
+DEMO_HEADER = "<html><body><h1>OpenLLM OCR Annotator Demo</h1>\n"
+DEMO_FOOTER = "</body></html>"
+
+
+def demo_html_lines(media_rows: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """K6 body: one gallery block per image, byte-identical to the
+    reference's per-image write (scripts/generate_demo.py:14-17:
+    ``<div><img src='assets/{img}' style='width:600px'><br>{img}</div><hr>``).
+
+    One deliberate divergence, same class as the K4 split note: the
+    reference iterates ``os.listdir(assets_dir)`` — a FILESYSTEM-DEPENDENT
+    order — where a distributed engine must not let output depend on scan
+    order, so blocks are ordered by ``ref_col`` (distinct, then the K3
+    range-partition + in-partition sort shape: globally ordered partitions
+    without a single-reducer sort)."""
+    line = F.concat(
+        F.lit("<div><img src='assets/"),
+        F.col(ref_col),
+        F.lit("' style='width:600px'><br>"),
+        F.col(ref_col),
+        F.lit("</div><hr>"),
+    )
+    return (
+        media_rows.select(F.col(ref_col)).distinct()
+        .repartitionByRange(ref_col)
+        .sortWithinPartitions(ref_col)
+        .select(line.alias("value"))
+    )
+
+
+def write_demo_html(
+    media_rows: DataFrame, path: str, ref_col: str = "media_ref"
+) -> int:
+    """K6: assemble the single demo page (reference scripts/generate_demo.py
+    writes one local ``demo/index.html``; a human-viewed gallery is the one
+    sink whose contract IS a single small file). The body streams through
+    ``toLocalIterator`` — partition by partition in range order, so the
+    page is globally ordered without collecting the frame. Returns the
+    number of gallery entries written."""
+    n = 0
+    with open(path, "w") as f:
+        f.write(DEMO_HEADER)
+        for row in demo_html_lines(media_rows, ref_col).toLocalIterator():
+            f.write(row.value + "\n")
+            n += 1
+        f.write(DEMO_FOOTER)
+    return n

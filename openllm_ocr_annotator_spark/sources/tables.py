@@ -150,8 +150,21 @@ class SnapshotTable:
         return legacy + [m for m in versioned if m is not None]
 
     def latest(self) -> dict | None:
-        snaps = self.snapshots()
-        return snaps[-1] if snaps else None
+        """Tip of the chain — the LAST READABLE entry, walking version files
+        tail-first so a quiet chain costs ONE json read (the commit retry
+        loop calls this per attempt; reading every manifest per call would
+        make commit cost O(chain length) — the metadata trap a
+        10^12-doc table's million-commit history cannot afford). An
+        in-flight claimed-but-unwritten tail is skipped, same semantics as
+        ``snapshots()``; CAS callers needing opaque-tip detection use
+        ``_chain_tip`` instead."""
+        paths = self._fs.list_json(f"{self.root}/versions")
+        for p in reversed(paths):
+            m = self._fs.read_json_or_none(p)
+            if m is not None:
+                return m
+        legacy = self._fs.list_json(f"{self.root}/manifests")
+        return self._fs.read_json(legacy[-1]) if legacy else None
 
     def _next_version(self) -> int:
         paths = self._fs.list_json(f"{self.root}/versions")

@@ -374,3 +374,48 @@ def test_cas_commit_legacy_manifest_compat(spark, tmp_path):
     assert not (root / "manifests" / f"{legacy_id}.json").exists()
     assert {r.doc_id for r in t.read_committed().collect()} == {0, 1, 2, 10, 11}
     assert [s["snapshot_id"] for s in t.snapshots()] == [c]
+
+
+def test_demo_html_matches_reference_page_shape(spark, tmp_path):
+    """K6 (reference scripts/generate_demo.py:12-18): the written page is
+    byte-identical to a pure-Python replay of the reference's loop over
+    the same image names — header, per-image div blocks, footer — with
+    the engine's one documented divergence (deterministic media_ref order
+    where the reference inherits os.listdir order). Duplicate refs (one
+    image referenced by many docs) collapse to one gallery entry, matching
+    the reference's one-file-one-block behavior."""
+    from openllm_ocr_annotator_spark.sinks.export import write_demo_html
+
+    refs = ["zeta.png", "alpha.jpg", "mid.gif", "alpha.jpg"]  # scrambled + dup
+    rows = [(f"d{i}", r) for i, r in enumerate(refs)]
+    media = spark.createDataFrame(rows, "doc_id string, media_ref string")
+    out = tmp_path / "index.html"
+    n = write_demo_html(media, str(out))
+    assert n == 3
+
+    # the reference's loop body, replayed over the deterministic order
+    expected = "<html><body><h1>OpenLLM OCR Annotator Demo</h1>\n"
+    for img in sorted(set(refs)):
+        expected += (
+            f"<div><img src='assets/{img}' style='width:600px'><br>{img}</div><hr>\n"
+        )
+    expected += "</body></html>"
+    assert out.read_text() == expected
+
+
+def test_demo_html_order_survives_partitioning(spark, tmp_path):
+    """The gallery order must be the GLOBAL ref order regardless of how the
+    input is partitioned (toLocalIterator walks range partitions in order)."""
+    from openllm_ocr_annotator_spark.sinks.export import write_demo_html
+
+    media = (
+        spark.range(200)
+        .selectExpr("CAST(id AS STRING) AS doc_id",
+                    "format_string('img_%03d.png', CAST(id * 37 % 200 AS INT)) AS media_ref")
+        .repartition(16)
+    )
+    out = tmp_path / "index.html"
+    assert write_demo_html(media, str(out)) == 200
+    body = out.read_text().splitlines()[1:-1]  # drop header line + footer
+    names = [b.split("'")[1].removeprefix("assets/") for b in body]
+    assert names == sorted(names) and len(names) == 200
