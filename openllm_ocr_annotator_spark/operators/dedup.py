@@ -223,9 +223,17 @@ def minhash_signatures(
     )
 
 
-def _band_rows(sigs: DataFrame, num_bands: int) -> DataFrame:
+def _band_rows(
+    sigs: DataFrame, num_bands: int, carry: dict[str, str] | None = None
+) -> DataFrame:
     """Narrow pass: (doc_id, signature) → one row per (doc, band) with the
-    band's bucket hash — the LSH posting relation."""
+    band's bucket hash — the LSH posting relation. ``carry`` maps extra
+    input column names to their Spark SQL types; they ride the explode
+    row-aligned (repeated per band) so callers never need a post-banding
+    join back to the signature relation — at 10^12 docs that join would
+    shuffle the num_bands×-exploded posting relation just to re-attach a
+    flag the kernel already held."""
+    carry = carry or {}
 
     def band_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -233,17 +241,19 @@ def _band_rows(sigs: DataFrame, num_bands: int) -> DataFrame:
                 continue
             sig_mat = np.array(pdf["signature"].tolist(), dtype=np.int64).view(np.uint64)
             bh = K.band_hashes_batch(sig_mat, num_bands)  # (n_docs, num_bands)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), num_bands),
-                    "band_idx": np.tile(np.arange(num_bands), len(pdf)),
-                    "band_hash": bh.reshape(-1).astype(np.int64),
-                }
-            )
+            out = {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), num_bands),
+                "band_idx": np.tile(np.arange(num_bands), len(pdf)),
+                "band_hash": bh.reshape(-1).astype(np.int64),
+            }
+            for col in carry:
+                out[col] = np.repeat(pdf[col].to_numpy(), num_bands)
+            yield pd.DataFrame(out)
 
-    return sigs.mapInPandas(
-        band_kernel, schema="doc_id long, band_idx int, band_hash long"
+    schema = "doc_id long, band_idx int, band_hash long" + "".join(
+        f", {col} {typ}" for col, typ in carry.items()
     )
+    return sigs.mapInPandas(band_kernel, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -360,9 +370,7 @@ def minhash_lsh_incremental(
     if caches is not None:
         caches.append(sigs)
 
-    bands = _band_rows(sigs.select("doc_id", "signature"), num_bands).join(
-        sigs.select("doc_id", "_new"), "doc_id"
-    )
+    bands = _band_rows(sigs, num_bands, carry={"_new": "boolean"})
     # same star escape hatch as the full-corpus run: the combined banding
     # relation sees identical buckets, so hubs match a one-shot run and
     # the incremental output stays exactly full-minus-history×history
