@@ -342,7 +342,12 @@ def main() -> None:
                     timings[name] = round(best, 3)
                     spreads[name] = sp
                     probes[name] = probe
-                    if not bad and name in noisy:
+                    # the noisy flag must describe the measurement actually
+                    # recorded — the replacement's dispersion verdict, not
+                    # the evicted trial's
+                    if bad and name not in noisy:
+                        noisy.append(name)
+                    elif not bad and name in noisy:
                         noisy.remove(name)
 
         dt = timings["extract_e2e"]
