@@ -25,7 +25,7 @@ import math
 
 import numpy as np
 
-from .dedup import hash_token
+from .dedup import hash_tokens
 
 
 def hashed_features(
@@ -38,7 +38,9 @@ def hashed_features(
         grams += [f"{a} {b}" for a, b in zip(words, words[1:])]
     if not grams:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    idx = np.array([int(hash_token(g)) % n_features for g in grams], dtype=np.int64)
+    # batch hash — value-identical to hash_token per gram (same splitmix
+    # finalizer) without the per-call numpy-scalar/errstate overhead
+    idx = (hash_tokens(grams) % np.uint64(n_features)).astype(np.int64)
     uniq, counts = np.unique(idx, return_counts=True)
     vals = counts.astype(np.float64)
     vals /= math.sqrt(float((vals * vals).sum()))

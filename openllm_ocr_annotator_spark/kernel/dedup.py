@@ -29,14 +29,19 @@ def hash_token(token: str) -> np.uint64:
 
     Two salted CRC32 passes (C-speed, stable across platforms/processes —
     unlike Python's hash()) packed to 64 bits, then a splitmix finalizer
-    for avalanche. ~100× faster than a per-byte Python FNV loop.
+    for avalanche. The finalizer runs in plain Python ints (masked 64-bit
+    arithmetic — bit-identical to the numpy ``_splitmix64``, pinned by
+    test_dedup_kernel's scalar≡batch check) because a one-element numpy
+    round-trip plus its errstate guard costs ~35µs/call — profiled at 94%
+    of the DSIR weighting pass before the swap.
     """
     b = token.encode("utf-8")
-    lo = zlib.crc32(b)
-    hi = zlib.crc32(b, 0x9E3779B9)
-    h = np.uint64(lo) | (np.uint64(hi) << np.uint64(32))
-    with np.errstate(over="ignore"):
-        return np.uint64(_splitmix64(np.array([h], dtype=np.uint64))[0])
+    h = zlib.crc32(b) | (zlib.crc32(b, 0x9E3779B9) << 32)
+    m = 0xFFFFFFFFFFFFFFFF
+    h = (h + 0x9E3779B97F4A7C15) & m
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & m
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & m
+    return np.uint64(h ^ (h >> 31))
 
 
 def hash_tokens(tokens: list[str]) -> np.ndarray:

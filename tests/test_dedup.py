@@ -773,3 +773,18 @@ def test_viral_bucket_incremental_matches_full_minus_history(spark):
         ).collect()
     }
     assert inc == want
+
+
+def test_hash_token_scalar_equals_batch():
+    """The scalar hash_token runs its splitmix finalizer in plain Python
+    ints (perf: no one-element numpy round-trip); this pins it bit-equal
+    to the vectorized hash_tokens numpy path for ASCII, unicode, empty-ish
+    and long tokens — the invariant every golden that hashed grams with
+    either variant depends on."""
+    toks = ["a", "hello world", "üñïçødé-ταλ", "0", " ", "x" * 4096,
+            "\t\n", "the", "the quick brown fox"]
+    batch = K.hash_tokens(toks)
+    for t, expect in zip(toks, batch):
+        got = K.hash_token(t)
+        assert isinstance(got, np.uint64)
+        assert int(got) == int(expect), t
