@@ -91,7 +91,7 @@ def _pil_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
 _MAGIC_FORMATS = (
     (b"II*\x00", "TIFF"), (b"MM\x00*", "TIFF"),
     (b"\x89PNG", "PNG"), (b"GIF8", "GIF"), (b"BM", "BMP"),
-    (b"\xff\xd8", "JPEG"), (b"P5", "PPM"), (b"P6", "PPM"),
+    (b"\xff\xd8", "JPEG"), (b"P5", "PGM"), (b"P6", "PPM"),
 )
 
 

@@ -189,7 +189,10 @@ def demo_html_lines(media_rows: DataFrame, ref_col: str = "media_ref") -> DataFr
     order — where a distributed engine must not let output depend on scan
     order, so blocks are ordered by ``ref_col`` (distinct, then the K3
     range-partition + in-partition sort shape: globally ordered partitions
-    without a single-reducer sort)."""
+    without a single-reducer sort). NULL refs (a doc row whose media fetch
+    failed) are dropped — the reference's listdir loop cannot see them, and
+    letting one through would null the concat and crash the writer
+    mid-page."""
     line = F.concat(
         F.lit("<div><img src='assets/"),
         F.col(ref_col),
@@ -198,7 +201,8 @@ def demo_html_lines(media_rows: DataFrame, ref_col: str = "media_ref") -> DataFr
         F.lit("</div><hr>"),
     )
     return (
-        media_rows.select(F.col(ref_col)).distinct()
+        media_rows.select(F.col(ref_col)).filter(F.col(ref_col).isNotNull())
+        .distinct()
         .repartitionByRange(ref_col)
         .sortWithinPartitions(ref_col)
         .select(line.alias("value"))

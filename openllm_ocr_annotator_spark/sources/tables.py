@@ -24,8 +24,14 @@ linearize — the loser's create throws, and it either retries at N+1
 (plain ``commit``: appends never conflict logically) or aborts and deletes
 its orphaned data files (``commit_cas`` with a stale ``expected_parent`` —
 the Iceberg optimistic-concurrency contract). This survives stores without
-atomic rename: a conditional PUT (S3 If-None-Match, HDFS/local create-
-exclusive) is the only primitive required. Pre-CAS tables (legacy
+atomic rename; the one primitive required is an atomic create-if-absent,
+which is per-scheme: ``java.io.File.createNewFile`` on ``file:`` (Hadoop's
+LocalFileSystem ``create(overwrite=False)`` is a non-atomic exists-probe),
+server-side create-exclusive on HDFS, and a conditional PUT on S3A
+(If-None-Match via ``fs.s3a.create.conditional.enabled``, Hadoop 3.4.1+ —
+required for this layer's guarantees on S3). A committer killed between
+claiming a version file and writing its body is reclaimed after
+``stale_claim_ms`` instead of wedging the chain. Pre-CAS tables (legacy
 ``manifests/*.json``, rename-committed) remain readable; their entries
 order before the versioned chain.
 """
@@ -89,19 +95,55 @@ class _HadoopFS:
         if self.fs.exists(p) and not self.fs.delete(p, True):
             raise IOError(f"delete failed: {path}")
 
+    def max_mtime(self, dirpath: str) -> int:
+        """Latest modification time (epoch ms) across ``dirpath`` and every
+        file under it (recursive ``listFiles`` — one listing call per page,
+        object-store friendly). An actively-written snapshot dir keeps
+        advancing this as part files land."""
+        p = self._Path(dirpath)
+        mt = self.fs.getFileStatus(p).getModificationTime()
+        it = self.fs.listFiles(p, True)
+        while it.hasNext():
+            mt = max(mt, it.next().getModificationTime())
+        return mt
+
     def create_exclusive(self, path: str, obj: dict) -> bool:
-        """Compare-and-claim publish: create ``path`` with overwrite=False —
-        the one primitive object stores guarantee conditionally (S3
-        If-None-Match PUT, HDFS/local create-exclusive). Returns False when
-        the path is already claimed (the caller LOST the race — Hadoop
-        surfaces this as an exception, not a boolean, so the loss is
-        re-checked against existence before swallowing anything)."""
-        try:
-            out = self.fs.create(self._Path(path), False)
-        except Exception:
-            if self.fs.exists(self._Path(path)):
+        """Compare-and-claim publish. The claim primitive is per-scheme:
+
+        - ``file:`` — ``java.io.File.createNewFile`` (O_EXCL). Hadoop's
+          LocalFileSystem implements ``create(overwrite=False)`` as an
+          ``exists()`` probe followed by an open/truncate, which is a
+          check-then-act race, NOT a claim: two racers both pass the probe
+          and the second truncates the first's body. The JDK call is the
+          real atomic on a local store.
+        - everything else — ``create(overwrite=False)``: atomic server-side
+          on HDFS; on S3A it requires the conditional-write support
+          (``fs.s3a.create.conditional.enabled``, Hadoop 3.4.1+, mapping to
+          an If-None-Match PUT) — without it S3A degrades to the same
+          probe-then-put race, so that flag is part of this layer's S3
+          deployment contract.
+
+        Returns False when the path is already claimed (the caller LOST the
+        race — Hadoop surfaces this as an exception, not a boolean, so the
+        loss is re-checked against existence before swallowing anything).
+        After the body lands the claim is re-read: a stale-claim janitor
+        (``_reclaim_stale_claim``) racing a pathologically slow writer could
+        have deleted-and-replaced the file mid-write, and returning success
+        with the manifest gone would be silent commit loss."""
+        jpath = self._Path(path)
+        scheme = jpath.toUri().getScheme()
+        if scheme in (None, "file"):
+            local = self._jvm.java.io.File(jpath.toUri().getPath())
+            if not local.createNewFile():
                 return False
-            raise
+            out = self.fs.create(jpath, True)  # we own the claim: truncate it
+        else:
+            try:
+                out = self.fs.create(jpath, False)
+            except Exception:
+                if self.fs.exists(jpath):
+                    return False
+                raise
         try:
             out.write(bytearray(json.dumps(obj), "utf-8"))
             out.close()
@@ -113,8 +155,14 @@ class _HadoopFS:
                 out.close()
             except Exception:
                 pass
-            self.fs.delete(self._Path(path), False)
+            self.fs.delete(jpath, False)
             raise
+        written = self.read_json_or_none(path)
+        if written != obj:
+            raise IOError(
+                f"claim at {path} was reclaimed mid-write: the body on "
+                "store is not the manifest this committer wrote"
+            )
         return True
 
     def read_json_or_none(self, path: str) -> dict | None:
@@ -128,9 +176,12 @@ class _HadoopFS:
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, stale_claim_ms: int = 60_000
+    ) -> None:
         self.spark = spark
         self.root = root.rstrip("/")
+        self.stale_claim_ms = stale_claim_ms
         self._fs = _HadoopFS(spark, self.root)
         self._fs.mkdirs(f"{self.root}/data")
         self._fs.mkdirs(f"{self.root}/manifests")
@@ -179,24 +230,54 @@ class SnapshotTable:
         stores where ``create`` materializes the file before the body lands
         (local FS, HDFS — unlike S3, where a conditional PUT is atomic with
         its content), the tail may be claimed but not yet readable; that
-        racer is waited out briefly, then surfaced as an OPAQUE tip
-        (manifest None with version > 0) so the caller treats the chain as
-        advanced instead of misreading the tip as its grandparent — the
-        hole that would let two CAS committers both append to the same
-        parent."""
-        paths = self._fs.list_json(f"{self.root}/versions")
-        if not paths:
-            legacy = [self._fs.read_json(p)
-                      for p in self._fs.list_json(f"{self.root}/manifests")]
-            return (legacy[-1] if legacy else None), 1
-        tail = paths[-1]
-        n = int(tail.rsplit("/", 1)[-1].split(".")[0])
-        for _ in range(20):
-            m = self._fs.read_json_or_none(tail)
-            if m is not None:
-                return m, n + 1
-            time.sleep(0.05)
-        return None, n + 1  # claimed but unreadable after the grace: opaque
+        racer is waited out briefly, then either RECLAIMED (a bodyless
+        claim older than ``stale_claim_ms`` is a crashed committer — left
+        alone it would wedge every future commit behind a permanently
+        opaque tip) or surfaced as an OPAQUE tip (manifest None with
+        version > 0) so the caller treats the chain as advanced instead of
+        misreading the tip as its grandparent — the hole that would let two
+        CAS committers both append to the same parent."""
+        while True:
+            paths = self._fs.list_json(f"{self.root}/versions")
+            if not paths:
+                legacy = self._fs.list_json(f"{self.root}/manifests")
+                return (self._fs.read_json(legacy[-1]) if legacy else None), 1
+            tail = paths[-1]
+            n = int(tail.rsplit("/", 1)[-1].split(".")[0])
+            for _ in range(20):
+                m = self._fs.read_json_or_none(tail)
+                if m is not None:
+                    return m, n + 1
+                time.sleep(0.05)
+            if self._reclaim_stale_claim(tail):
+                continue  # crashed committer's claim deleted: re-observe
+            return None, n + 1  # young in-flight claim: opaque
+
+    def _reclaim_stale_claim(self, path: str) -> bool:
+        """Delete a claimed-but-bodyless version file whose writer is
+        provably dead: the body write lands within milliseconds of the
+        claim, so an unparseable claim older than ``stale_claim_ms`` is a
+        committer killed between claim and body (the in-process cleanup in
+        ``create_exclusive`` never ran), not a slow writer. A writer that
+        somehow stalls past the threshold and then finishes does NOT lose
+        its commit silently — its own post-write re-read in
+        ``create_exclusive`` sees the replaced body and raises. Returns
+        True when the chain should be re-observed (claim deleted, or it
+        vanished under us because another janitor won the same race)."""
+        jpath = self._fs._Path(path)
+        try:
+            st = self._fs.fs.getFileStatus(jpath)
+        except Exception:
+            return True  # gone already: re-observe
+        if int(time.time() * 1000) - st.getModificationTime() <= self.stale_claim_ms:
+            return False
+        if self._fs.read_json_or_none(path) is not None:
+            return False  # body landed while we aged it: not stale
+        try:
+            self._fs.delete(path)
+        except Exception:
+            pass  # lost the delete race to another janitor — same outcome
+        return True
 
     # -- write path -----------------------------------------------------------
 
@@ -220,9 +301,20 @@ class SnapshotTable:
         """
         snap_id, manifest = self._write_snapshot(df, lineage, keys, extra)
         for _ in range(100):
-            parent = self.latest()
-            manifest["parent"] = parent["snapshot_id"] if parent else None
-            if self._claim(manifest):
+            # parent and version come from ONE chain observation — reading
+            # them independently (latest() skips an in-flight tail that
+            # _next_version counts) could claim version N+1 with a parent of
+            # N-1, recording a fork that silently omits N from the lineage
+            tip, version = self._chain_tip()
+            if tip is None and version > 1:
+                # young opaque claim at the tip: wait for its body to land
+                # (or for its stale reclamation) instead of appending past it
+                continue
+            manifest["parent"] = tip["snapshot_id"] if tip else None
+            manifest["version"] = version
+            if self._fs.create_exclusive(
+                f"{self.root}/versions/{version:012d}.json", manifest
+            ):
                 return snap_id
         raise IOError(
             f"commit of {snap_id} lost 100 consecutive version claims — "
@@ -423,11 +515,14 @@ class SnapshotTable:
         """Delete staged-but-never-published snapshot dirs — a committer
         that crashed (or lost a CAS race) between staging its data and
         claiming a version leaves dirs no manifest references; reads never
-        see them, but they hold storage. Only dirs whose snapshot id
-        timestamp is older than ``grace_ms`` go: an IN-FLIGHT commit's data
-        dir is also unreferenced until its claim lands, and the id prefix
-        (commit-start ms) is the conservative age bound that needs no
-        object-store mtime semantics. Returns the deleted snapshot ids."""
+        see them, but they hold storage. A dir goes only when BOTH its
+        snapshot-id timestamp (commit-start ms) AND its newest content
+        mtime are older than ``grace_ms``: the id prefix alone would delete
+        an in-flight commit whose parquet write simply outlasts the grace
+        window (a 10^12-doc snapshot write measures in hours), while an
+        active write keeps advancing file mtimes and so keeps protecting
+        itself regardless of when it started. Returns the deleted snapshot
+        ids."""
         referenced = {s["snapshot_id"] for s in self.snapshots()}
         cutoff = int(time.time() * 1000) - grace_ms
         expired = []
@@ -437,10 +532,16 @@ class SnapshotTable:
                     born = int(name.split("_", 1)[0])
                 except ValueError:
                     continue  # not a snapshot dir this layer staged
-                if name not in referenced and born <= cutoff:
-                    self._fs.delete(f"{self.root}/{sub}/{name}")
-                    if sub == "data":
-                        expired.append(name)
+                if name in referenced or born > cutoff:
+                    continue
+                try:
+                    if self._fs.max_mtime(f"{self.root}/{sub}/{name}") > cutoff:
+                        continue  # write still landing part files: in-flight
+                except Exception:
+                    continue  # vanished under us (racing janitor/committer)
+                self._fs.delete(f"{self.root}/{sub}/{name}")
+                if sub == "data":
+                    expired.append(name)
         return expired
 
     def resume_filter(self, inputs: DataFrame, *key_cols: str) -> DataFrame:

@@ -153,6 +153,11 @@ for name, sql in ORACLES.items():
         diff = [x for x in a[:5] if x not in b[:5]]
         fails.append((name, f"{len(a)} vs {len(b)} rows; sample {diff[:2]}"))
     print(f"{name:28s} {status}  ({len(a)} rows, {q_secs:.1f}s)")
+    # operators that persist intermediates (LSH signatures, gram relations)
+    # hand the cache back via caches=[] — a contract this harness's lazy
+    # returned-DataFrame shape cannot honor, so drop the session cache
+    # between queries instead of accumulating ~100 corpus-sized entries
+    spark.catalog.clearCache()
 
 rows_only = [q for q in QUERIES if q not in ORACLES
              and (not _only or q in _only)]
@@ -162,6 +167,7 @@ for name in rows_only:
     _t0 = _t.perf_counter()
     cnt = QUERIES[name](spark, SF_DIR).count()
     print(f"{name:28s} ROWS-ONLY ({cnt} rows, {_t.perf_counter() - _t0:.1f}s)")
+    spark.catalog.clearCache()
 
 # every catalog entry must have produced a result line above — a query
 # silently absent from the record (the round-2 driver hole) fails here

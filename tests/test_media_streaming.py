@@ -777,6 +777,10 @@ def test_decode_refusal_names_sniffed_format(monkeypatch):
     # codec's own diagnosis (PNG magic, truncated header)
     with _pytest.raises(ValueError, match="no decoder for PNG"):
         M._decode_payload(b"\x89PNG\r\n\x1a\n\x00\x00", "image")
+    # netpbm naming: P5 is binary PGM (grayscale), P6 binary PPM — the
+    # refusal must not point a PGM payload at the wrong container
+    assert M._sniff_format(b"P5\n2 2\n255\n\x00" * 2) == "PGM"
+    assert M._sniff_format(b"P6\n2 2\n255\n" + b"\x00" * 12) == "PPM"
 
 
 def test_strict_decode_refusal_through_spark(spark):

@@ -304,23 +304,68 @@ def test_cas_commit_two_racing_committers(spark, tmp_path):
 
 
 def test_cas_claim_collision_retries_and_tolerates_garbage(spark, tmp_path):
-    """A plain commit() that loses a version claim retries at N+1 (appends
-    never conflict logically); an unparseable in-flight version file is
-    skipped by readers but still occupies its number."""
-    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    """A bodyless version file left by a crashed committer (kill -9 between
+    claim and body — the in-process cleanup never ran) is RECLAIMED once it
+    ages past ``stale_claim_ms``: a later commit() deletes it, reuses its
+    version number, and the chain stays dense and linear — parent is the
+    true predecessor, no burned numbers, no fork. (Before reclamation the
+    tip is opaque and commits wait: pinned separately by
+    test_cas_commit_refuses_opaque_inflight_tip.)"""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stale_claim_ms=0)
     s1 = t.commit(spark.range(2).selectExpr("id AS doc_id"))
-    # occupy the next version number with an in-flight (empty) claim file
-    p = t._fs._Path(f"{t.root}/versions/{t._next_version():012d}.json")
+    # crashed committer: claim created at version 2, body never written
+    p = t._fs._Path(f"{t.root}/versions/{2:012d}.json")
     t._fs.fs.create(p, False).close()
     s2 = t.commit(spark.range(5, 7).selectExpr("id AS doc_id"))
-    # reader skipped the garbage file; the chain is s1 -> s2 at versions 1,3
+    # the stale claim was deleted and its number REUSED: dense linear chain
     snaps = t.snapshots()
     assert [s["snapshot_id"] for s in snaps] == [s1, s2]
-    assert [s["version"] for s in snaps] == [1, 3]
+    assert [s["version"] for s in snaps] == [1, 2]
     assert snaps[-1]["parent"] == s1
     assert {r.doc_id for r in t.read_committed().collect()} == {0, 1, 5, 6}
     # create_exclusive is a true compare-and-claim: second create loses
     assert not t._fs.create_exclusive(f"{t.root}/versions/{1:012d}.json", {})
+
+
+def test_cas_stale_bodyless_claim_unwedges_commit_cas(spark, tmp_path):
+    """The livelock the stale-claim janitor exists for: with a permanently
+    bodyless tip, commit_cas would spin forever on an opaque chain even
+    though expected_parent genuinely matches the real tip. Past
+    ``stale_claim_ms`` the claim is reclaimed and the CAS lands."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stale_claim_ms=0)
+    s1 = t.commit(spark.range(2).selectExpr("id AS doc_id"))
+    t._fs.fs.create(t._fs._Path(f"{t.root}/versions/{2:012d}.json"), False).close()
+    got = t.commit_cas(
+        spark.range(9, 11).selectExpr("id AS doc_id"), expected_parent=s1
+    )
+    assert got is not None, "stale bodyless tip must be reclaimed, not wedge"
+    snaps = t.snapshots()
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert snaps[-1]["parent"] == s1
+    assert {r.doc_id for r in t.read_committed().collect()} == {0, 1, 9, 10}
+
+
+def test_expire_orphans_spares_actively_written_dirs(spark, tmp_path):
+    """An unreferenced staging dir whose snapshot-id timestamp is ancient
+    but whose CONTENT is fresh is an in-flight commit whose write outlasted
+    the grace window (hours-long parquet writes at scale) — expiry must key
+    on the newest content mtime, not the commit-start prefix alone."""
+    root = tmp_path / "tbl"
+    t = SnapshotTable(spark, str(root))
+    keep = t.commit(spark.range(2).selectExpr("id AS doc_id"))
+    # stage a dir born an hour ago (name prefix) still landing part files
+    import time as _time
+
+    old_ms = int(_time.time() * 1000) - 7_200_000
+    slow_id = f"{old_ms:014d}_deadbeef"
+    slow_dir = root / "data" / slow_id
+    slow_dir.mkdir(parents=True)
+    (slow_dir / "part-00000.parquet").write_bytes(b"in-flight bytes")  # fresh mtime
+    assert t.expire_orphans(grace_ms=3_600_000) == []
+    assert slow_id in t._fs.list_dirs(f"{t.root}/data")
+    # once the content is older than the grace window too, it goes
+    assert t.expire_orphans(grace_ms=0) == [slow_id]
+    assert set(t._fs.list_dirs(f"{t.root}/data")) == {keep}
 
 
 def test_cas_commit_refuses_opaque_inflight_tip(spark, tmp_path):
@@ -419,3 +464,19 @@ def test_demo_html_order_survives_partitioning(spark, tmp_path):
     body = out.read_text().splitlines()[1:-1]  # drop header line + footer
     names = [b.split("'")[1].removeprefix("assets/") for b in body]
     assert names == sorted(names) and len(names) == 200
+
+
+def test_demo_html_skips_null_refs(spark, tmp_path):
+    """A NULL media_ref (doc row whose media fetch failed) must not reach
+    the page: unfiltered it nulls the concat expression and the writer
+    crashes mid-file on None + str, leaving a half-written index.html."""
+    from openllm_ocr_annotator_spark.sinks.export import write_demo_html
+
+    media = spark.createDataFrame(
+        [("d0", "a.png"), ("d1", None), ("d2", "b.png")],
+        "doc_id string, media_ref string",
+    )
+    out = tmp_path / "index.html"
+    assert write_demo_html(media, str(out)) == 2
+    text = out.read_text()
+    assert "a.png" in text and "b.png" in text and "None" not in text
