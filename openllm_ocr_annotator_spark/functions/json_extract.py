@@ -4,9 +4,16 @@ Reference semantics (src/openllm_ocr_annotator/utils/formatter.py:28-68):
 1. prefer a fenced markdown block ```json ... ``` (or bare ```), comments
    stripped, parsed as JSON;
 2. else parse the whole text (comments stripped);
-3. else scan for the first decodable '{...}' object (reasoning models
-   prepend '<think>…' prose);
+3. else scan the COMMENT-STRIPPED text for the first decodable '{...}'
+   object (formatter.py:57 strips again before the scan — reasoning
+   models prepend '<think>…' prose);
 4. else empty object.
+
+Faithful quirk, every step: ``remove_comments``'s ``//.*$`` regex does not
+know about strings, so a JSON value containing '//' (URLs, file paths) is
+truncated to invalid JSON and the row nulls — the reference mangles such
+payloads identically at all three steps, and this engine replicates it
+rather than "fixing" divergently (same class as the P4 falsy filter).
 
 Spark mapping: steps 1-2 are pure expressions (`regexp_extract` +
 `from_json` + `coalesce`); step 3 is inherently iterative → an

@@ -124,8 +124,16 @@ def numeric_match(gt: Column, pred: Column, tolerance: float = 0.0) -> Column:
 
 
 def _c(col: Column) -> str:
-    """Column → SQL fragment (requires a plain column reference)."""
-    from pyspark.sql.classic.column import Column as ClassicColumn
+    """Column → SQL fragment (requires a plain column reference).
+
+    ``pyspark.sql.classic.column`` only exists in PySpark 4.x (3.5 keeps
+    the JVM-backed Column at ``pyspark.sql.column``) — the declared
+    dependency floor is 3.5, so fall back rather than ModuleNotFoundError
+    on the first matcher call of a 3.5 install."""
+    try:
+        from pyspark.sql.classic.column import Column as ClassicColumn
+    except ModuleNotFoundError:  # pyspark 3.5.x
+        from pyspark.sql.column import Column as ClassicColumn
 
     if isinstance(col, ClassicColumn):
         return str(col._jc.toString())

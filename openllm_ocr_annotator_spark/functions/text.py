@@ -35,7 +35,10 @@ def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """Marker-count argmax; ties and zero hits → 'unknown'.
+    """Marker-count argmax; zero hits → 'unknown'; ties resolve to the
+    alphabetically SMALLEST language (deterministic, and what the loop
+    below and test_text_functions pin — a tie is a real signal conflict,
+    and any oracle twin must replicate this exact tie-break).
 
     Expressed as a greatest-of CASE so it stays one codegen'd projection.
     """
@@ -121,10 +124,13 @@ def gopher_gates(
     distinct_stop = F.size(
         F.array_distinct(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS)))
     )
+    # bind once: each call expands to a full filter+transform+aggregate
+    # lambda chain over the word array, and codegen's subexpression
+    # elimination does not reliably merge duplicated higher-order trees
+    mwl = mean_word_len(text)
     gates = {
         "g_word_count": (n >= min_words) & (n <= max_words),
-        "g_mean_word_len": (mean_word_len(text) >= 3.0)
-        & (mean_word_len(text) <= 10.0),
+        "g_mean_word_len": (mwl >= 3.0) & (mwl <= 10.0),
         "g_symbol_ratio": F.when(
             n > 0, symbols.cast("double") / n.cast("double") <= max_symbol_ratio
         ).otherwise(F.lit(False)),

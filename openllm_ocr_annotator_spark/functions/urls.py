@@ -95,11 +95,14 @@ def canonical_url(url: Column) -> Column:
 
 
 def host_of(url: Column) -> Column:
-    """Lowercased authority host of a URL (port stripped — the port is
-    not part of the host for blocklist purposes)."""
+    """Lowercased authority host of a URL (userinfo and port stripped —
+    neither is part of the host for blocklist purposes). Leaving userinfo
+    in place would let ``https://anything@blocked.com/`` slide past a
+    suffix blocklist — the classic crawl-data evasion dressing."""
     host = F.lower(
         F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     )
+    host = F.regexp_replace(host, r"^.*@", "")
     return F.regexp_replace(host, r":\d+$", "")
 
 

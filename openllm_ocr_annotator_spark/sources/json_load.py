@@ -82,13 +82,20 @@ def read_json_docs(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+    # input_file_name() returns a URI-encoded path: a stem with spaces or
+    # non-ASCII comes back percent-encoded and would diverge from the
+    # reference's Path.stem (silently breaking every stem-keyed join).
+    # url_decode inverts it — with '+' pre-escaped to %2B first, because
+    # url_decode speaks form-encoding where bare '+' means space, while in
+    # a URI path a '+' is literal.
+    stem = F.regexp_extract(F.col("filename"), r"([^/]+)\.[A-Za-z0-9]+$", 1)
     return (
         df.filter(F.col(CORRUPT_COL).isNull())
         .drop(CORRUPT_COL)
         .withColumn("filename", F.input_file_name())
         .withColumn(
             "doc_id",
-            F.regexp_extract(F.col("filename"), r"([^/]+)\.[A-Za-z0-9]+$", 1),
+            F.url_decode(F.regexp_replace(stem, r"\+", "%2B")),
         )
     )
 

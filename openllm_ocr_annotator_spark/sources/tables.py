@@ -165,6 +165,14 @@ class _HadoopFS:
             )
         return True
 
+    def write_json(self, path: str, obj: dict) -> None:
+        """Unconditional overwrite (no claim semantics) — maintenance only."""
+        out = self.fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(json.dumps(obj), "utf-8"))
+        finally:
+            out.close()
+
     def read_json_or_none(self, path: str) -> dict | None:
         """``read_json`` tolerating an in-flight create (a claimed-but-not-
         yet-closed version file on stores where files appear at create):
@@ -198,7 +206,11 @@ class SnapshotTable:
                   for p in self._fs.list_json(f"{self.root}/manifests")]
         versioned = [self._fs.read_json_or_none(p)
                      for p in self._fs.list_json(f"{self.root}/versions")]
-        return legacy + [m for m in versioned if m is not None]
+        # expired tombstones (expire_replaced) hold their version NUMBER so
+        # a later claim can never reuse it, but carry no readable snapshot
+        return legacy + [
+            m for m in versioned if m is not None and not m.get("expired")
+        ]
 
     def latest(self) -> dict | None:
         """Tip of the chain — the LAST READABLE entry, walking version files
@@ -212,7 +224,7 @@ class SnapshotTable:
         paths = self._fs.list_json(f"{self.root}/versions")
         for p in reversed(paths):
             m = self._fs.read_json_or_none(p)
-            if m is not None:
+            if m is not None and not m.get("expired"):
                 return m
         legacy = self._fs.list_json(f"{self.root}/manifests")
         return self._fs.read_json(legacy[-1]) if legacy else None
@@ -470,7 +482,8 @@ class SnapshotTable:
         carried into the compacted snapshot, so resume semantics survive.
         Returns the new snapshot id (None on an empty table).
         """
-        live = self._live_snaps(self.snapshots())
+        snaps = self.snapshots()
+        live = self._live_snaps(snaps)
         if not live:
             return None
         if any(s.get("keys_dir") for s in live) and not key_cols:
@@ -480,14 +493,29 @@ class SnapshotTable:
             )
         data = self.spark.read.parquet(*[s["data_dir"] for s in live])
         keys = self.committed_keys(*key_cols) if key_cols else None
-        return self.commit(
-            data, keys=keys, extra={"replaces": [s["snapshot_id"] for s in live]}
+        # CAS, not plain append: two concurrent compactions would otherwise
+        # BOTH land (appends never conflict logically), neither in the
+        # other's replaces list, and read_committed would union two full
+        # copies of the table. Bound to the tip observed when `live` was
+        # computed, the loser aborts cleanly (its staged dirs deleted) and
+        # returns None — the caller re-reads and re-compacts if still worth it.
+        tip = snaps[-1]["snapshot_id"]
+        return self.commit_cas(
+            data, expected_parent=tip, keys=keys,
+            extra={"replaces": [s["snapshot_id"] for s in live]},
         )
 
     def expire_replaced(self) -> list[str]:
         """Physically delete compaction-replaced snapshots (data, keys,
-        manifest) — the retention step that reclaims storage at the cost of
-        time travel to those ids. Returns the expired snapshot ids."""
+        manifest body) — the retention step that reclaims storage at the
+        cost of time travel to those ids. A replaced CAS entry's version
+        file is TOMBSTONED, not deleted: deleting it would free the version
+        number for reuse, and a slow committer that computed that number
+        before the compaction could then win a create-exclusive on a
+        chain that had long moved past its expected_parent — a false CAS
+        success that double-appends. Legacy manifests (rename-committed,
+        no version numbers) are still deleted outright. Returns the
+        expired snapshot ids."""
         snaps = self.snapshots()
         replaced: set[str] = set()
         for s in snaps:
@@ -501,7 +529,11 @@ class SnapshotTable:
             if s.get("keys_dir"):
                 self._fs.delete(s["keys_dir"])
             if "version" in s:  # CAS chain entry; legacy = rename-committed
-                self._fs.delete(f"{self.root}/versions/{s['version']:012d}.json")
+                self._fs.write_json(
+                    f"{self.root}/versions/{s['version']:012d}.json",
+                    {"snapshot_id": sid, "version": s["version"],
+                     "expired": True},
+                )
             else:
                 self._fs.delete(f"{self.root}/manifests/{sid}.json")
             expired.append(sid)

@@ -33,11 +33,19 @@ def process_increment(docs: DataFrame, table: SnapshotTable, num_partitions: int
         extracted = extracted.cache()
         try:
             # keys = the processed INPUT set: empty-span docs commit as done
-            table.commit(
+            snap = table.commit(
                 extracted,
                 lineage=lineage_metrics(extracted),
                 keys=todo.select("doc_id"),
             )
+            # commit already counted the written rows into the manifest
+            # (n_rows); re-counting here would be one redundant Spark job
+            # per micro-batch. latest() is a tail-first O(1) metadata read;
+            # fall back to the cached count only if a concurrent committer
+            # moved the tip between our commit and the read.
+            tip = table.latest()
+            if tip and tip.get("snapshot_id") == snap:
+                return int(tip["n_rows"])
             return extracted.count()
         finally:
             extracted.unpersist()

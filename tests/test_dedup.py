@@ -632,6 +632,8 @@ def test_domain_blocklist_suffix_semantics(spark):
         (4, "https://notbad.example.com/x"),     # suffix of the NAME, not the domain
         (5, "https://good.example.com/x"),
         (6, "https://bad.example.com.evil.org/x"),  # entry as a LEFT part only
+        (7, "https://anything@bad.example.com/p"),  # userinfo evasion dressing
+        (8, "https://u:pw@sub.bad.example.com:8443/p"),  # userinfo + port
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = {
@@ -644,6 +646,9 @@ def test_domain_blocklist_suffix_semantics(spark):
     assert out[4] == ("notbad.example.com", False)
     assert out[5] == ("good.example.com", False)
     assert out[6] == ("bad.example.com.evil.org", False)
+    # userinfo is not part of the host: 'user@blocked.com' must still block
+    assert out[7] == ("bad.example.com", True)
+    assert out[8] == ("sub.bad.example.com", True)
 
 
 def test_domain_blocklist_dataframe_path_matches_list_path(spark):

@@ -70,3 +70,50 @@ def test_remove_comments_expression(spark):
     got = df.select(remove_comments(F.col("s")).alias("c")).first().c
     assert "//" not in got and "/*" not in got
     assert '{"a": 1}' in got
+
+
+def test_url_values_null_like_the_reference(spark):
+    """Faithful quirk (formatter.py:22 + :57): remove_comments' '//.*$'
+    regex is string-blind, so a JSON value containing '//' (URLs, file
+    paths) is truncated to invalid JSON at EVERY step — fenced, whole-text,
+    and the brace scan (the reference re-strips before scanning). The
+    reference replay below proves parity: both engines null the row rather
+    than one 'fixing' it divergently."""
+    import re
+
+    def ref_parse(text):  # formatter.py:28-68, replayed
+        def rm(s):
+            s = re.sub(r"//.*$", "", s, flags=re.MULTILINE)
+            return re.sub(r"/\*.*?\*/", "", s, flags=re.DOTALL)
+
+        m = re.search(r"```(?:json)?\n(.*?)\n```", text, re.DOTALL)
+        if m:
+            try:
+                return json.loads(rm(m.group(1)))
+            except json.JSONDecodeError:
+                pass
+        try:
+            return json.loads(rm(text))
+        except json.JSONDecodeError:
+            pass
+        dec = json.JSONDecoder()
+        clean = rm(text)
+        for i, ch in enumerate(clean):
+            if ch != "{":
+                continue
+            try:
+                parsed, _ = dec.raw_decode(clean[i:])
+                if isinstance(parsed, dict):
+                    return parsed
+            except json.JSONDecodeError:
+                continue
+        return {}
+
+    url_payload = '{"url": "http://x.com/a", "v": 1}'
+    assert ref_parse(url_payload) == {}, "reference nulls URL-bearing JSON"
+    got = _extract(spark, [url_payload, '<think>…</think> ' + url_payload])
+    assert got == [None, None], "engine must replicate the reference quirk"
+    # sanity: the same payload WITHOUT '//' parses fine in both
+    ok = '{"path": "x.com/a", "v": 1}'
+    assert ref_parse(ok) == {"path": "x.com/a", "v": 1}
+    assert json.loads(_extract(spark, [ok])[0]) == {"path": "x.com/a", "v": 1}

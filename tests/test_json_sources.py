@@ -78,3 +78,22 @@ def test_read_jsonl_skips_bad_lines(spark, tmp_path):
     schema = T.StructType([T.StructField("k", T.StringType())])
     got = sorted(r.k for r in read_jsonl(spark, str(p), schema).collect())
     assert got == ["a", "b"]
+
+
+def test_read_json_docs_stem_decodes_uri_encoding(spark, tmp_path):
+    """input_file_name() returns a URI-encoded path: 'invoice 001.json'
+    surfaces as .../invoice%20001.json. The stem must decode back to the
+    reference's Path.stem ('invoice 001') or every stem-keyed join of
+    annotator legs / ground truth silently drops such docs. Literal '+'
+    must survive (URI encoding leaves it bare; form decoding would turn
+    it into a space)."""
+    d = tmp_path / "voted"
+    d.mkdir()
+    _write_annotation(d, "invoice 001", [("invoice_number", "INV-1", 0.9)])
+    _write_annotation(d, "a+b", [("invoice_number", "INV-2", 0.8)])
+    _write_annotation(d, "naïve-doc", [("invoice_number", "INV-3", 0.7)])
+    out = read_json_docs(spark, str(d / "*.json"), ANNOTATION_SCHEMA)
+    # project a data column too: a corrupt-filter-only scan that reads no
+    # declared field trips Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN rule
+    stems = {r.doc_id for r in out.select("doc_id", "model").collect()}
+    assert stems == {"invoice 001", "a+b", "naïve-doc"}

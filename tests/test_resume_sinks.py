@@ -480,3 +480,47 @@ def test_demo_html_skips_null_refs(spark, tmp_path):
     assert write_demo_html(media, str(out)) == 2
     text = out.read_text()
     assert "a.png" in text and "b.png" in text and "None" not in text
+
+
+def test_cas_expired_version_numbers_are_never_reclaimed(spark, tmp_path):
+    """expire_replaced must TOMBSTONE a replaced CAS entry's version file,
+    not delete it: a freed number could be re-won by a slow committer whose
+    expected_parent the chain left behind long ago — a false CAS success
+    that double-appends the batch it was retrying."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.commit(spark.range(2).selectExpr("id AS doc_id"))
+    s2 = t.commit(spark.range(5, 7).selectExpr("id AS doc_id"))
+    c = t.compact()
+    assert set(t.expire_replaced()) == {s1, s2}
+    # versions 1 and 2 are tombstoned: a create-exclusive claim must LOSE
+    assert not t._fs.create_exclusive(f"{t.root}/versions/{1:012d}.json", {})
+    assert not t._fs.create_exclusive(f"{t.root}/versions/{2:012d}.json", {})
+    # readers skip tombstones; the chain is just the compaction
+    assert [s["snapshot_id"] for s in t.snapshots()] == [c]
+    assert t.latest()["snapshot_id"] == c
+    assert {r.doc_id for r in t.read_committed().collect()} == {0, 1, 5, 6}
+    # a CAS against the long-gone parent aborts instead of falsely landing
+    assert t.commit_cas(
+        spark.range(9).limit(1).selectExpr("id AS doc_id"), expected_parent=s1
+    ) is None
+
+
+def test_racing_compaction_aborts_instead_of_doubling(spark, tmp_path):
+    """Two concurrent compactions both observe live={s1,s2}; the loser's
+    publish (a CAS bound to the observed tip) must abort — a plain append
+    would let BOTH land, neither in the other's replaces list, and
+    read_committed would union two full copies of the table."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.commit(spark.range(2).selectExpr("id AS doc_id"))
+    s2 = t.commit(spark.range(5, 7).selectExpr("id AS doc_id"))
+    staged_dirs = [s["data_dir"] for s in t._live_snaps(t.snapshots())]
+    # racer A wins the compaction
+    assert t.compact() is not None
+    # racer B replays its publish step against the tip IT observed
+    got = t.commit_cas(
+        spark.read.parquet(*staged_dirs), expected_parent=s2,
+        extra={"replaces": [s1, s2]},
+    )
+    assert got is None, "losing compaction must abort, not double the table"
+    rows = [r.doc_id for r in t.read_committed().collect()]
+    assert sorted(rows) == [0, 1, 5, 6], "no duplicated rows"
