@@ -148,6 +148,9 @@ def tokenize_html(html: str) -> list[tuple]:
                             if a_depth:
                                 link_chars += len(stripped)
                         t = seg[j + 1 :]
+                        # the dropped '<' still separates head from tail
+                        # under the separator-free join
+                        texts.append(" ")
                         texts.append(t)
                         chars += len(t)
                         if a_depth:
@@ -159,6 +162,11 @@ def tokenize_html(html: str) -> list[tuple]:
                     chars += len(stripped)
                     if a_depth:
                         link_chars += len(stripped)
+                elif texts:
+                    # whitespace-only inter-tag gap: keep ONE space marker
+                    # so '<b>a</b> <b>b</b>' stays 'a b' under the
+                    # separator-free join below (contributes no chars)
+                    texts.append(" ")
             continue
 
         parsed = cache_get(seg)
@@ -195,7 +203,12 @@ def tokenize_html(html: str) -> list[tuple]:
         if is_img or flags & _F_BLOCK:
             # flush current block (img also flushes, then emits media)
             if texts:
-                text = _norm_ws(_decode_entities(" ".join(texts)))
+                text = _norm_ws(_decode_entities("".join(texts)))
+                # separator-free join: INLINE tag boundaries (<b>, <a>,
+                # <span>) must not split words — 'wor</b>ld' is 'world'.
+                # Source whitespace rides along in the raw segments (plus
+                # the explicit markers for whitespace-only gaps) and
+                # _norm_ws collapses it.
                 if text:
                     items.append(
                         ("text", text, link_chars / chars if chars else 0.0,
@@ -224,7 +237,7 @@ def tokenize_html(html: str) -> list[tuple]:
                 block_chrome = True
 
     if texts:
-        text = _norm_ws(_decode_entities(" ".join(texts)))
+        text = _norm_ws(_decode_entities("".join(texts)))
         if text:
             items.append(
                 ("text", text, link_chars / chars if chars else 0.0, block_chrome)
@@ -233,20 +246,48 @@ def tokenize_html(html: str) -> list[tuple]:
 
 
 def _extract_attr(tag_body: str, attr: str) -> str:
-    low = tag_body.lower()
-    key = attr + "="
-    k = low.find(key)
-    if k < 0:
-        return ""
-    v = tag_body[k + len(key) :]
-    if v[:1] in ("'", '"'):
-        q = v[0]
-        end = v.find(q, 1)
-        return v[1:end] if end > 0 else v[1:]
-    end = 0
-    while end < len(v) and not v[end].isspace() and v[end] != ">":
-        end += 1
-    return v[:end]
+    """Value of ``attr`` in a tag body, by a sequential quote-aware
+    attribute scan. A substring search would match 'src=' inside
+    ``data-src=`` (lazy-load markup would emit the placeholder instead of
+    the real URL) or inside another attribute's quoted value
+    (``alt="see src=foo"``) — both reproduce with real crawl markup."""
+    n = len(tag_body)
+    target = attr.lower()
+    i = 0
+    while i < n and not tag_body[i].isspace():
+        i += 1  # skip the tag name
+    while i < n:
+        while i < n and tag_body[i].isspace():
+            i += 1
+        j = i
+        while j < n and tag_body[j] != "=" and not tag_body[j].isspace():
+            j += 1
+        name = tag_body[i:j].lower()
+        k = j
+        while k < n and tag_body[k].isspace():
+            k += 1
+        if k >= n or tag_body[k] != "=":
+            if name == target:
+                return ""  # bare attribute: present, no value
+            i = max(k, i + 1)  # always advance
+            continue
+        k += 1
+        while k < n and tag_body[k].isspace():
+            k += 1
+        if k < n and tag_body[k] in ("'", '"'):
+            q = tag_body[k]
+            end = tag_body.find(q, k + 1)
+            val = tag_body[k + 1 : end] if end > 0 else tag_body[k + 1 :]
+            i = end + 1 if end > 0 else n
+        else:
+            end = k
+            while end < n and not tag_body[end].isspace():
+                end += 1
+            val = tag_body[k:end]
+            i = end
+        if name == target:
+            return val
+    return ""
 
 
 def classify_blocks(

@@ -52,8 +52,14 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def ngram_tokens(text_col, n: int = 3):
-    """Distinct word n-grams as an array column (JVM-side, codegen)."""
-    words = F.split(F.lower(text_col), " ")
+    """Distinct word n-grams as an array column (JVM-side, codegen).
+
+    Empty tokens are dropped BEFORE gram construction: a raw split keeps
+    '' for every extra space, so 'foo  bar baz' and 'foo bar baz' would
+    share zero grams — decontamination would miss a benchmark passage over
+    one doubled space. Same normalization as drift.token_counts and
+    bm25_search."""
+    words = F.filter(F.split(F.lower(text_col), " "), lambda w: w != "")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
@@ -212,8 +218,13 @@ def minhash_signatures(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL is absence-of-text, not the string 'None': bare str()
+            # would make a NULL-text doc a perfect near-dup of any real
+            # document whose text is the word 'none' (and of every other
+            # NULL doc via a 'None'-shingle match rather than emptiness)
             allsh, counts = K.shingle_hashes_batch(
-                [str(t) for t in pdf[text_col]], shingle_n
+                [str(t) if t is not None else "" for t in pdf[text_col]],
+                shingle_n,
             )
             sigs = K.minhash_signatures_batch(allsh, counts, a, b).astype(np.int64)
             yield pd.DataFrame({"doc_id": pdf[id_col], "signature": list(sigs)})
@@ -256,6 +267,55 @@ def _band_rows(
     return sigs.mapInPandas(band_kernel, schema=schema)
 
 
+def _banded_pair_estimates(
+    sigs: DataFrame, bands: DataFrame, star_rows: DataFrame, threshold: float,
+    pair_pred=None, star_pred=None,
+) -> DataFrame:
+    """Shared tail of the MinHash LSH family: band-bucket self-join +
+    star-hub pairs → signature-estimated Jaccard ≥ threshold. One
+    implementation for the full-corpus and incremental paths — a fix to
+    the estimate arithmetic, rounding, or threshold semantics applied to
+    one must reach the other (they are contractually bit-equal on the
+    shared pair set). ``pair_pred``/``star_pred`` add the incremental
+    path's at-least-one-side-new predicates over the ``a``/``b`` aliases
+    and the star rows respectively."""
+    star = star_rows.filter(F.col("doc_id") != F.col("_hub.doc_id"))
+    if star_pred is not None:
+        star = star.filter(star_pred)
+    star = star.select(
+        F.col("_hub.doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if pair_pred is not None:
+        cond = cond & pair_pred
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .unionByName(star)
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("sig_a")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, num_perm: int = 64, num_bands: int = 16,
     threshold: float = 0.7, shingle_n: int = 3,
@@ -289,41 +349,7 @@ def minhash_lsh_pairs(
     bands, star_rows = _split_viral_buckets(
         bands, ["band_idx", "band_hash"], ["doc_id"], max_bucket_size, stats
     )
-    star = (
-        star_rows.filter(F.col("doc_id") != F.col("_hub.doc_id"))
-        .select(
-            F.col("_hub.doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
-        )
-    )
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .unionByName(star)
-        .distinct()
-    )
-
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.size("sig_a")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
-    )
+    return _banded_pair_estimates(sigs, bands, star_rows, threshold)
 
 
 def minhash_lsh_incremental(
@@ -378,42 +404,10 @@ def minhash_lsh_incremental(
         bands, ["band_idx", "band_hash"], ["doc_id", "_new"], max_bucket_size,
         stats,
     )
-    star = (
-        star_rows.filter(F.col("doc_id") != F.col("_hub.doc_id"))
-        .filter(F.col("_new") | F.col("_hub._new"))
-        .select(
-            F.col("_hub.doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
-        )
-    )
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a._new") | F.col("b._new")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .unionByName(star)
-        .distinct()
-    )
-
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.size("sig_a")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    return _banded_pair_estimates(
+        sigs, bands, star_rows, threshold,
+        pair_pred=F.col("a._new") | F.col("b._new"),
+        star_pred=F.col("_new") | F.col("_hub._new"),
     )
 
 
@@ -437,7 +431,10 @@ def simhash_pairs(
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = K.simhash64_batch([str(t) for t in pdf[text_col]])
+            # same NULL-vs-'None' distinction as minhash_signatures
+            hashes = K.simhash64_batch(
+                [str(t) if t is not None else "" for t in pdf[text_col]]
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -795,11 +792,15 @@ def line_dedup(
     # character, not on the pattern.
     if "\\E" in sep:
         raise ValueError(r"line_dedup: separator may not contain '\E'")
+    # coalesce first: split(NULL) is NULL and posexplode(NULL) emits no
+    # rows, which would silently drop NULL-text docs from the returned
+    # relation — breaking the one-row-per-input-document contract the
+    # docstring promises (substring_dedup passes such docs through)
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
-            "line_no", "line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+        ).alias("line_no", "line"),
     )
     partic = F.length(F.trim(F.col("line"))) >= min_line_chars
     keyed = lines.where(partic).withColumn("_h", F.xxhash64("line"))

@@ -166,12 +166,16 @@ def markdown_report(evaluated: DataFrame) -> str:
     (reference: evaluators/field_evaluator.py:144-173)."""
     per_field = field_accuracy(evaluated).orderBy("field_name").collect()
     overall = overall_stats(doc_accuracy(evaluated)).first()
+    # an empty evaluation still gets a report (same guard as the sampling
+    # report): avg() over zero rows is NULL, and :.4f on None raises
+    mean_acc = overall.mean_accuracy if overall.n_docs else 0.0
+    exact_rate = overall.exact_match_rate if overall.n_docs else 0.0
     lines = [
         "# Field Evaluation Report",
         "",
         f"- documents: {overall.n_docs}",
-        f"- mean accuracy: {overall.mean_accuracy:.4f}",
-        f"- exact-match rate: {overall.exact_match_rate:.4f}",
+        f"- mean accuracy: {mean_acc:.4f}",
+        f"- exact-match rate: {exact_rate:.4f}",
         "",
         "| field | correct | total | accuracy |",
         "|---|---|---|---|",

@@ -755,12 +755,29 @@ def embedding_near_dups(
     so narrow buckets + several tables give near-1 recall with tiny fan-out.
     """
     planes = hyperplanes(dim, num_planes, num_tables, seed)
-    b = lsh_bucket_ids(vectors, planes, id_col, vec_col, multi_probe=True)
-    a1 = b.alias("a")
-    b1 = b.alias("b")
+    base = lsh_bucket_ids(vectors, planes, id_col, vec_col)
+    # ONE-sided multi-probe: probing both sides of the self-join would
+    # multiply candidate fan-out by (1+num_planes)² per table — 81× at the
+    # default 8 planes — for marginal hamming-2 recall (the lsh_bucket_ids
+    # docstring itself scopes multi-probe as query-side). Probe-vs-base
+    # already covers every bucket pair within hamming 1 symmetrically
+    # (probes(x)∩base(y) ≠ ∅ ⇔ hamming(code x, code y) ≤ 1). The probe
+    # expansion is derived JVM-side from the base relation (XOR of each
+    # code bit; table bits sit above the code, so they are preserved) —
+    # no second kernel pass over the vectors.
+    probed = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+            )
+        ).alias("bucket"),
+    )
     cand = (
-        a1.join(
-            b1,
+        probed.alias("a")
+        .join(
+            base.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )

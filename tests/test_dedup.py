@@ -206,6 +206,41 @@ def test_decontaminate_drops_ngram_overlap(spark):
     assert {r.doc_id for r in clean.collect()} == {2}
 
 
+def test_decontaminate_whitespace_variant_still_matches(spark):
+    """A doubled space must not hide contamination: ngram_tokens drops
+    empty split tokens before gram construction, so 'quick  brown fox'
+    and 'quick brown fox' build the same grams. Unfixed, a benchmark
+    passage with any whitespace drift passes decontaminate uncleaned."""
+    from openllm_ocr_annotator_spark.operators.dedup import (
+        decontaminate,
+        ngram_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "so the quick  brown fox jumps here"),   # doubled space
+            (2, " the quick brown fox jumps over all"),  # leading space
+            (3, "totally disjoint content in every way"),
+        ],
+        "doc_id long, text string",
+    )
+    clean = decontaminate(train, bench, n=5)
+    assert {r.doc_id for r in clean.collect()} == {3}
+    # and the gram builder itself is whitespace-normalized
+    df = spark.createDataFrame(
+        [("foo  bar baz",), ("foo bar baz",)], "text string"
+    )
+    grams = [
+        set(r.g) for r in df.select(ngram_tokens(F.col("text"), 3).alias("g")).collect()
+    ]
+    assert grams[0] == grams[1] == {"foo bar baz"}
+
+
 def _pairs_df(spark, pairs):
     return spark.createDataFrame(pairs, "doc_a long, doc_b long")
 
@@ -793,3 +828,36 @@ def test_hash_token_scalar_equals_batch():
         got = K.hash_token(t)
         assert isinstance(got, np.uint64)
         assert int(got) == int(expect), t
+
+
+def test_null_text_is_not_the_string_none(spark):
+    """NULL text is absence-of-text: stringifying it as 'None' made a
+    NULL-text doc a perfect near-duplicate of any real document whose text
+    is the word 'none' — dedup_corpus would then DELETE the real doc."""
+    from openllm_ocr_annotator_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "None"), (3, "none none none")],
+        "doc_id long, text string",
+    )
+    mh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert not any(1 in p for p in mh), f"NULL doc must not pair with 'None' text: {mh}"
+    sh = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert not any(1 in p for p in sh), f"NULL doc must not simhash-match 'None': {sh}"
+
+
+def test_line_dedup_keeps_null_text_docs(spark):
+    """One row per input document includes NULL-text docs (split(NULL)
+    explodes to nothing — unguarded, such docs vanish from the result)."""
+    from openllm_ocr_annotator_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "keep me\nshared line"), (2, None), (3, "shared line\nunique")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert set(rows) == {1, 2, 3}, "every input doc gets a row"
+    assert rows[2].text == "" and rows[2].n_kept == 1  # one empty non-participating line

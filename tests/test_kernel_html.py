@@ -81,3 +81,32 @@ def test_misnested_and_unterminated_tags_tolerated():
     items = tokenize_html(f"<div><p>{LONG}</div></p><p>{LONG}")
     texts = [it[1] for it in items if it[0] == "text"]
     assert texts == [LONG, LONG]
+
+
+def test_inline_tags_do_not_split_words():
+    """Inline (non-block) tag boundaries concatenate — '<b>wor</b>ld' is
+    one word 'world', not 'wor ld'. A space-separated join corrupted every
+    doc with mid-word inline markup, and the corruption propagated into
+    word counts, link-density denominators, shingle fingerprints, and the
+    exported corpus text itself."""
+    items = tokenize_html("<p>Hello <b>wor</b>ld</p>")
+    assert items == [("text", "Hello world", 0.0, False)]
+    # whitespace-only gaps between inline elements still separate words
+    assert tokenize_html("<p><b>a</b> <b>b</b></p>")[0][1] == "a b"
+    # and truly adjacent inline elements concatenate (HTML rendering)
+    assert tokenize_html("<p>foo<span>bar</span></p>")[0][1] == "foobar"
+    # anchors behave the same; link chars still counted for density
+    kind, text, density, _ = tokenize_html("<p>click <a href=x>here</a> now</p>")[0]
+    assert text == "click here now" and abs(density - 4 / 12) < 1e-9
+
+
+def test_src_attr_not_shadowed_by_data_src():
+    """_extract_attr must scan attributes, not substrings: lazy-load markup
+    (data-src) and quoted values containing 'src=' must not shadow the
+    real src."""
+    items = tokenize_html('<p><img data-src="lazy.jpg" src="real.jpg"></p>')
+    assert ("media", "real.jpg") in items
+    items = tokenize_html('<p><img alt="see src=foo" src="real.jpg"></p>')
+    assert ("media", "real.jpg") in items
+    # bare attribute / absent attribute yield no media item
+    assert all(it[0] != "media" for it in tokenize_html("<p><img width=5></p>"))
