@@ -34,8 +34,27 @@ class ExtractionJobConfig:
 _VOTER_METHODS = {"weighted", "majority", "highest_confidence"}
 
 
+# postponed annotations make dataclass f.type a string — scalar field
+# types mapped explicitly (the docstring's "simple type checks"; bool
+# precedes int in the isinstance checks because bool IS int in Python)
+_FIELD_TYPES: dict[str, tuple] = {
+    "method": (str,), "num_samples": (int,), "input_path": (str,),
+    "table_root": (str,), "partitions": (int, type(None)), "salt": (bool,),
+    "weights": (dict,),
+}
+
+
 def _build(cls, data: dict[str, Any], path: str = ""):
-    """dict → dataclass; unknown keys raise (reference contract)."""
+    """dict → dataclass; unknown keys and wrong-typed scalars raise
+    (reference contract: config_manager.py:200-205 rejects unknown fields;
+    the dataclass types are the schema). Without the checks,
+    ``num_samples: "three"`` loads fine and only explodes deep inside
+    Spark."""
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"config section '{path or '.'}' must be a mapping, "
+            f"got {type(data).__name__}: {data!r}"
+        )
     known = {f.name: f for f in dataclasses.fields(cls)}
     unknown = set(data) - set(known)
     if unknown:
@@ -52,7 +71,26 @@ def _build(cls, data: dict[str, Any], path: str = ""):
             continue
         v = data[name]
         if name in nested:
+            if v is not None and not isinstance(v, dict):
+                raise ValueError(
+                    f"config key '{path}{name}' must be a mapping, "
+                    f"got {type(v).__name__}: {v!r}"
+                )
             v = _build(nested[name], v or {}, f"{path}{name}.")
+        else:
+            want = _FIELD_TYPES.get(name)
+            bad = want is not None and (
+                not isinstance(v, want)
+                or (bool not in want and isinstance(v, bool))
+            )
+            if bad:
+                names = "/".join(
+                    t.__name__ if t is not type(None) else "null" for t in want
+                )
+                raise ValueError(
+                    f"config key '{path}{name}' must be {names}, "
+                    f"got {type(v).__name__}: {v!r}"
+                )
         kwargs[name] = v
     return cls(**kwargs)
 

@@ -78,23 +78,42 @@ def write_bucketed_table(
     w.saveAsTable(table_name)
 
 
+def _hex_digit(h: Column, i: int) -> Column:
+    """Value 0..15 of the i-th (1-based) hex character of ``h``."""
+    a = F.ascii(F.substring(h, i, 1))
+    return a - 48 - F.when(a >= 97, F.lit(39)).otherwise(F.lit(0))
+
+
 def split_bucket(key: Column, seed: int = 42) -> Column:
     """Deterministic 0..99 bucket from a key (engine-portable: md5 + ascii
-    arithmetic, reproducible in any SQL dialect for oracles)."""
+    arithmetic, reproducible in any SQL dialect for oracles).
+
+    The bucket comes from the VALUE of the first four hex digits (uniform
+    in [0, 65536), %100 bias ≤ 0.16% relative). Raw ascii-code arithmetic
+    ((ascii(c1)*256 + ascii(c2)) % 100) is badly non-uniform — ascii codes
+    of hex chars span only {48..57, 97..102}, leaving five buckets
+    unreachable and a 5× probability spread, which skewed a requested
+    80/10/10 split to a measured ~74.6/12.5/12.9."""
     h = F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}")))
-    return (
-        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
-    ) % 100
+    val = (
+        (_hex_digit(h, 1) * 16 + _hex_digit(h, 2)) * 16 + _hex_digit(h, 3)
+    ) * 16 + _hex_digit(h, 4)
+    return val % 100
 
 
 def split_column(
     key: Column, train: float = 0.8, test: float = 0.1, seed: int = 42
 ) -> Column:
-    """O4: train/test/validation label as a pure function of the key."""
+    """O4: train/test/validation label as a pure function of the key.
+
+    Thresholds round half-up (same as ``stratified_sample``): ``int()``
+    floors, and train=0.29 floors int(28.999…) to 28 — a band one
+    percentage point short for any ratio whose ×100 is not exactly
+    representable."""
     b = split_bucket(key, seed)
     return (
-        F.when(b < int(train * 100), "train")
-        .when(b < int((train + test) * 100), "test")
+        F.when(b < int(round(train * 100)), "train")
+        .when(b < int(round((train + test) * 100)), "test")
         .otherwise("validation")
     )
 

@@ -177,6 +177,15 @@ MEDIA_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
+def media_geometry(doc_id: int) -> tuple[int, int]:
+    """THE payload geometry rule — one definition shared by the base
+    payload and the re-encoded variants (a drifted copy would silently
+    degrade the planted cross-container exact dups to unrelated images and
+    break the media_phash_dedup golden confusingly). The oracle SQL at
+    queries_catalog._MEDIA geometry restates it; change both together."""
+    return 4 + doc_id % 29, 3 + doc_id % 17
+
+
 def media_payload_row(
     doc_id: int, source: str, lossless_only: bool = False
 ) -> tuple[str, str, str, bytes]:
@@ -206,8 +215,7 @@ def media_payload_row(
     """
     from .kernel import imagecodec as C
 
-    width = 4 + doc_id % 29
-    height = 3 + doc_id % 17
+    width, height = media_geometry(doc_id)
     if doc_id % 3 == 0:
         n_frames = 1 + doc_id % 6
         if doc_id % 6 == 0:
@@ -300,8 +308,7 @@ def media_variant_rows(doc_id: int, source: str) -> list[tuple[str, str, str, by
     # lossless_only: exact-dup planting re-encodes the SAME pixels in a
     # different container — only the bit-exact encoders can do that
     base_id, ref, kind, payload = media_payload_row(doc_id, source, lossless_only=True)
-    width = 4 + doc_id % 29
-    height = 3 + doc_id % 17
+    width, height = media_geometry(doc_id)
     rows = [(base_id, ref, kind, payload)]
     if doc_id % 7 < 3:
         if doc_id % 5 < 2:  # PNG base → BMP re-encode

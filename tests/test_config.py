@@ -137,3 +137,29 @@ def test_defaults_non_string_entry_named_error(tmp_path):
     )
     with pytest.raises(ValueError, match=r"defaults.*d2\.yaml.*list"):
         load_config(str(tmp_path / "d2.yaml"))
+
+
+def test_scalar_types_and_scalar_section_rejected(tmp_path):
+    """The docstring's 'simple type checks' are real: a wrong-typed scalar
+    names the key and types instead of exploding later inside Spark, and
+    the plausible shorthand `voter: weighted` gets 'must be a mapping'
+    rather than the nonsense unknown-keys-['d','e','g',...] error from
+    iterating the string."""
+    import pytest
+
+    from openllm_ocr_annotator_spark.config import load_config
+
+    base = "input_path: /in\ntable_root: /tbl\n"
+    p = tmp_path / "c.yaml"
+    p.write_text(base + "voter: weighted\n")
+    with pytest.raises(ValueError, match="'voter' must be a mapping"):
+        load_config(str(p))
+    p.write_text(base + "voter:\n  num_samples: three\n")
+    with pytest.raises(ValueError, match="'voter.num_samples' must be int"):
+        load_config(str(p))
+    p.write_text(base + "salt: 1\n")
+    with pytest.raises(ValueError, match="'salt' must be bool"):
+        load_config(str(p))
+    p.write_text(base + "partitions: null\nsalt: true\n")
+    cfg = load_config(str(p))
+    assert cfg.partitions is None and cfg.salt is True

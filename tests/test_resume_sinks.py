@@ -103,6 +103,16 @@ def test_split_deterministic_and_partitioned(spark, tmp_path):
     frac = {r.split: r.n for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert 0.7 < frac["train"] / 1000 < 0.9
     assert 0.05 < frac["test"] / 1000 < 0.15
+    # uniformity at scale: the hex-VALUE bucket keeps a requested 80/10/10
+    # within sampling noise (the former ascii-CODE arithmetic measured
+    # ~74.6/12.5/12.9 — five buckets unreachable, 5x probability spread)
+    big = spark.range(50_000).select(
+        split_column(F.col("id")).alias("split")
+    ).groupBy("split").count()
+    pct = {r.split: r["count"] / 50_000 for r in big.collect()}
+    assert abs(pct["train"] - 0.80) < 0.01, pct
+    assert abs(pct["test"] - 0.10) < 0.01, pct
+    assert abs(pct["validation"] - 0.10) < 0.01, pct
     out = str(tmp_path / "ds")
     write_split_parquet(docs, out, key_col="doc_id")
     assert sorted(d for d in os.listdir(out) if d.startswith("split=")) == [
